@@ -1,7 +1,17 @@
 from .param_space import ParameterSpace, CLAMP, REFLECT
 from .objective import build_objective, build_incidence_fn, make_time_grid, lowest
+from .mh import MHConfig, MHResult, run_mh
+from .pso import PSOConfig, PSOResult, PSOVariant, Topology, run_pso
+from .hill import HillClimbConfig, HillClimbResult, run_hill_climb
+from .nuts import NUTSConfig, NUTSResult, run_nuts
+from .calibrator import CalibrationResult, calibrate, condition_covariance
 
 __all__ = [
     "ParameterSpace", "CLAMP", "REFLECT",
     "build_objective", "build_incidence_fn", "make_time_grid", "lowest",
+    "MHConfig", "MHResult", "run_mh",
+    "PSOConfig", "PSOResult", "PSOVariant", "Topology", "run_pso",
+    "HillClimbConfig", "HillClimbResult", "run_hill_climb",
+    "NUTSConfig", "NUTSResult", "run_nuts",
+    "CalibrationResult", "calibrate", "condition_covariance",
 ]

@@ -1,0 +1,209 @@
+"""Parallel adaptive hill climbing with cloud search, as batched device code.
+
+TPU-native re-design of ``HillClimbingOptimizer``
+(reference: ``src/sir_age_structured/optimizers/HillClimbingOptimizer.cpp``):
+
+- per-iteration candidate cloud: half correlated moves ``L z`` via the Cholesky
+  factor of an adapted covariance, half single-axis moves (:192-221) — generated
+  as one batched array op and evaluated with one vmapped objective call (the
+  reference spreads these over OpenMP threads)
+- early-accept of the cloud winner + robust two-phase line search along the
+  CONSTRAINED winning direction (:38-109): a backtracking ladder (step halvings)
+  then an expansion ladder (step doublings with moving anchor)
+- CMA-ES-style rank-1 covariance adaptation with alpha = 2/(n+2), forced
+  symmetry, trace-proportional jitter, and a diagonal floor at 1% of the
+  proposal variances (:276-301)
+- Cholesky refresh every 10 iterations with diagonal fallback (:308-336)
+- learned covariance returned for the Phase-2 MCMC warm start (:347)
+
+Documented deviations:
+- Both line-search ladders are evaluated as BATCHES (11 backtrack positions, 12
+  expansion positions) instead of sequential early-exit loops: the backtrack
+  pick (largest improving step) is exactly the sequential result; the expansion
+  walk takes the longest prefix of successive improvements along the
+  (2^k - 1)-scaled ladder, which matches the moving-anchor crawl whenever no
+  bound is crossed mid-ladder. Net effect: 2 fused objective batches instead of
+  up to 22 serial evaluations per iteration.
+- Cloud size is an explicit setting (the reference uses threads x multiplier).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mh import safe_logp
+from .param_space import ParameterSpace
+
+
+@dataclasses.dataclass(frozen=True)
+class HillClimbConfig:
+    iterations: int = 200
+    cloud_size: int = 40         # reference: max(4, threads * cloud_size_multiplier)
+    max_backtrack: int = 10
+    max_expansion: int = 12
+    chol_refresh: int = 10
+
+    @classmethod
+    def from_settings(cls, s: dict, n_devices_hint: int = 8) -> "HillClimbConfig":
+        g = s.get
+        mult = max(1, int(g("cloud_size_multiplier", 8)))
+        return cls(iterations=int(g("iterations", 2000)),
+                   cloud_size=max(4, n_devices_hint * mult))
+
+
+class HillClimbState(NamedTuple):
+    x: jnp.ndarray          # (d,) current position
+    logl: jnp.ndarray       # ()
+    best_x: jnp.ndarray
+    best_logl: jnp.ndarray
+    cov: jnp.ndarray        # (d, d)
+    chol: jnp.ndarray       # (d, d)
+    prev_x: jnp.ndarray     # anchor of the last accepted move
+    evals: jnp.ndarray
+
+
+class HillClimbResult(NamedTuple):
+    best_x: jnp.ndarray
+    best_logl: jnp.ndarray
+    final_cov: jnp.ndarray
+    history_best: jnp.ndarray
+    final_state: HillClimbState
+
+
+def _line_search(x, logl, direction, space: ParameterSpace, fitness_batch,
+                 cfg: HillClimbConfig):
+    """Two-phase robust line search (:38-109), batched."""
+    dtype = x.dtype
+    # Phase 1: backtracking ladder, steps 1, 1/2, ..., 1/2^(mb-1)
+    steps = 0.5 ** jnp.arange(cfg.max_backtrack, dtype=dtype)          # (mb,)
+    cands = jax.vmap(space.clamp)(x[None, :] + steps[:, None] * direction)
+    scores = safe_logp(fitness_batch(cands))
+    # degenerate candidates (no movement) score as no-improvement
+    moved = jnp.sum((cands - x) ** 2, axis=1) >= 1e-16
+    improving = (scores > logl) & moved
+    any_improve = jnp.any(improving)
+    first = jnp.argmax(improving)  # largest improving step (sequential semantics)
+    x1 = jnp.where(any_improve, cands[first], x)
+    l1 = jnp.where(any_improve, scores[first], logl)
+
+    # Phase 2: expansion ladder along the realized step s = x1 - x:
+    # moving-anchor positions x1 + (2^(k+1) - 2) * s for k = 1..me
+    s = x1 - x
+    factors = (2.0 ** jnp.arange(1, cfg.max_expansion + 1, dtype=dtype)) * 2.0 - 2.0
+    cands2 = jax.vmap(space.clamp)(x1[None, :] + factors[:, None] * s)
+    scores2 = safe_logp(fitness_batch(cands2))
+    # Sequential walk semantics: candidate k is taken iff every candidate up to
+    # and including k improved on its predecessor (anchor chain unbroken).
+    prev = jnp.concatenate([l1[None], scores2[:-1]])
+    prefix_ok = jnp.cumprod((scores2 > prev).astype(jnp.int32)) == 1
+    any2 = jnp.any(prefix_ok) & any_improve
+    last = jnp.max(jnp.where(prefix_ok, jnp.arange(cfg.max_expansion), -1))
+    last = jnp.maximum(last, 0)
+    x2 = jnp.where(any2, cands2[last], x1)
+    l2 = jnp.where(any2, scores2[last], l1)
+    return x2, l2, any_improve
+
+
+def run_hill_climb(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    theta0: jnp.ndarray,
+    key: jax.Array,
+    cfg: HillClimbConfig,
+) -> HillClimbResult:
+    d = space.dim
+    dtype = jnp.asarray(theta0).dtype
+    fitness_batch = jax.vmap(loglik)
+
+    sig = space.sigmas.astype(dtype)
+    var = jnp.where(sig > 0, sig * sig, 1e-4)
+    cov0 = jnp.diag(var)
+    min_var = jnp.where(sig > 0, sig * sig * 0.01, 1e-8)
+
+    theta0 = jnp.asarray(theta0, dtype=dtype)
+    logl0 = safe_logp(loglik(theta0))
+    state0 = HillClimbState(
+        x=theta0, logl=logl0, best_x=theta0, best_logl=logl0,
+        cov=cov0, chol=jnp.sqrt(cov0), prev_x=theta0,
+        evals=jnp.asarray(1, dtype=jnp.int32))
+
+    half = cfg.cloud_size // 2
+
+    def iteration(state: HillClimbState, xs):
+        it, k = xs
+        k_corr, k_axis, k_axis_i = jax.random.split(k, 3)
+
+        # A. candidate cloud: correlated + axis-aligned (:192-221)
+        z = jax.random.normal(k_corr, (half, d), dtype=dtype)
+        corr_steps = z @ state.chol.T
+        idx = jax.random.randint(k_axis_i, (cfg.cloud_size - half,), 0, d)
+        sigma_ax = jnp.sqrt(jnp.diagonal(state.cov))[idx]
+        ax_mag = sigma_ax * jax.random.normal(k_axis, (cfg.cloud_size - half,),
+                                              dtype=dtype)
+        axis_steps = jnp.zeros((cfg.cloud_size - half, d), dtype=dtype
+                               ).at[jnp.arange(cfg.cloud_size - half), idx].set(ax_mag)
+        steps = jnp.concatenate([corr_steps, axis_steps])
+
+        # B. batched evaluation of the constrained cloud
+        cands = jax.vmap(space.clamp)(state.x[None, :] + steps)
+        scores = safe_logp(fitness_batch(cands))
+
+        # C/D. winner + early accept + line search along constrained direction
+        w = jnp.argmax(scores)
+        won = scores[w] > state.logl
+        x_ea = jnp.where(won, cands[w], state.x)
+        l_ea = jnp.where(won, scores[w], state.logl)
+        direction = cands[w] - state.x
+        x_new, l_new, ls_moved = _line_search(x_ea, l_ea, direction, space,
+                                              fitness_batch, cfg)
+        moved = won | ls_moved
+
+        # E. rank-1 covariance adaptation on the realized move (:276-301)
+        actual = x_new - state.prev_x
+        step_norm = jnp.sum(actual ** 2)
+        alpha = 2.0 / (d + 2.0)
+        cov_upd = (1 - alpha) * state.cov + alpha * jnp.outer(actual, actual)
+        cov_upd = 0.5 * (cov_upd + cov_upd.T)
+        jitter = 1e-8 * jnp.trace(cov_upd) / d
+        cov_upd = cov_upd + jitter * jnp.eye(d, dtype=dtype)
+        diag = jnp.diagonal(cov_upd)
+        cov_upd = cov_upd + jnp.diag(jnp.maximum(min_var - diag, 0.0))
+        do_adapt = moved & (step_norm > 1e-14)
+        cov = jnp.where(do_adapt, cov_upd, state.cov)
+        prev_x = jnp.where(moved, x_new, state.prev_x)
+
+        # F. Cholesky refresh every `chol_refresh` iterations (:308-336)
+        def refresh(c):
+            lam = 1e-6 * jnp.trace(c) / d
+            c_reg = c + lam * jnp.eye(d, dtype=dtype)
+            L = jnp.linalg.cholesky(c_reg)
+            ok = jnp.all(jnp.isfinite(L))
+            L_diag = jnp.diag(jnp.sqrt(jnp.maximum(jnp.diagonal(c), 1e-12)))
+            return jnp.where(ok, L, L_diag)
+
+        chol = jax.lax.cond((it > 0) & (it % cfg.chol_refresh == 0),
+                            refresh, lambda c: state.chol, cov)
+
+        best_logl = jnp.maximum(state.best_logl, l_new)
+        best_x = jnp.where(l_new > state.best_logl, x_new, state.best_x)
+        new_state = HillClimbState(
+            x=x_new, logl=l_new, best_x=best_x, best_logl=best_logl,
+            cov=cov, chol=chol, prev_x=prev_x,
+            evals=state.evals + cfg.cloud_size + cfg.max_backtrack + cfg.max_expansion)
+        return new_state, best_logl
+
+    @jax.jit
+    def run(state0, key):
+        its = jnp.arange(cfg.iterations)
+        keys = jax.random.split(key, cfg.iterations)
+        state, hist = jax.lax.scan(iteration, state0, (its, keys))
+        return HillClimbResult(best_x=state.best_x, best_logl=state.best_logl,
+                               final_cov=state.cov, history_best=hist,
+                               final_state=state)
+
+    return run(state0, key)

@@ -1,0 +1,493 @@
+"""Particle Swarm Optimization: whole-swarm vectorized, all variants/topologies.
+
+TPU-native re-design of ``ParticleSwarmOptimization``
+(reference: ``src/model/optimizers/ParticleSwarmOptimizer.cpp``, 948 lines of
+OpenMP-parallel per-particle loops). Here one ``lax.scan`` iteration updates the
+ENTIRE swarm with batched array ops and a single vmapped objective evaluation —
+the swarm axis is shardable over the device mesh.
+
+Feature parity (same math, reference line refs):
+- variants STANDARD / QUANTUM / ADAPTIVE / LEVY_FLIGHT / HYBRID (:376-410) with
+  the standard velocity update + vmax clamp + reflective boundary handling with
+  velocity dampening (:575-618), the quantum attractor/log-uniform jump update
+  with contracting beta (:620-653), and Mantegna Levy-flight kicks (:655-680,
+  :908-934)
+- topologies GLOBAL_BEST / LOCAL_BEST ring(k=2) / VON_NEUMANN grid /
+  RANDOM_DYNAMIC (:836-906), realized as static neighbor index tables (ring/grid)
+  or per-iteration random draws (dynamic)
+- evolutionary-state estimation from swarm-distance + fitness dispersion with the
+  0.7/0.4/0.2 thresholds and the four omega/c1/c2 adaptation regimes (:427-525)
+- opposition-based initialization (:527-574)
+- elitist learning: Gaussian polish of the best particle every 5 iterations with
+  sigma-halving retries (:706-740)
+- stagnation-triggered restart keeping elite particles (:742-814)
+- pbest covariance exported as ``final_cov`` for the Phase-2 MCMC warm start
+
+Documented deviations (all TPU-motivated):
+- RANDOM_DYNAMIC draws 4 neighbors i.i.d. uniformly (may rarely repeat) instead
+  of a Fisher-Yates shuffle; statistically equivalent for swarm communication.
+- Elitist learning evaluates its 3 sigma-halved probes in one batch and takes the
+  first improving one, instead of sequentially short-circuiting (same probe
+  distribution; <=2 extra objective evaluations which are free inside the batch).
+- Restart re-seeds around a random elite with masked whole-swarm ops instead of
+  sorting; elites are the top-k by pbest (same selection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .param_space import ParameterSpace
+
+
+class PSOVariant(enum.IntEnum):
+    STANDARD = 0
+    QUANTUM = 1
+    ADAPTIVE = 2
+    LEVY_FLIGHT = 3
+    HYBRID = 4
+
+
+class Topology(enum.IntEnum):
+    GLOBAL_BEST = 0
+    LOCAL_BEST = 1
+    VON_NEUMANN = 2
+    RANDOM_DYNAMIC = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class PSOConfig:
+    """Settings mirror ``pso_settings.txt`` / ``configure`` (:10-103)."""
+
+    iterations: int = 100
+    swarm_size: int = 64
+    omega_start: float = 0.9
+    omega_end: float = 0.4
+    c1_initial: float = 2.0
+    c1_final: float = 0.5
+    c2_initial: float = 0.5
+    c2_final: float = 2.0
+    variant: PSOVariant = PSOVariant.STANDARD
+    topology: Topology = Topology.GLOBAL_BEST
+    use_opposition_learning: bool = True
+    use_adaptive_parameters: bool = True
+    diversity_threshold: float = 0.1
+    restart_threshold: float = 1e-6
+    quantum_beta: float = 1.0
+    levy_alpha: float = 1.5
+    max_stagnation: int = 20
+    elite_count: int = 3
+
+    @classmethod
+    def from_settings(cls, s: dict) -> "PSOConfig":
+        g = s.get
+        return cls(
+            iterations=int(g("iterations", 100)),
+            swarm_size=int(g("swarm_size", 64)),
+            omega_start=float(g("omega_start", 0.9)),
+            omega_end=float(g("omega_end", 0.4)),
+            c1_initial=float(g("c1_initial", 2.0)),
+            c1_final=float(g("c1_final", 0.5)),
+            c2_initial=float(g("c2_initial", 0.5)),
+            c2_final=float(g("c2_final", 2.0)),
+            variant=PSOVariant(int(g("variant", 0))),
+            topology=Topology(int(g("topology", 0))),
+            use_opposition_learning=bool(g("use_opposition_learning", 1.0)),
+            use_adaptive_parameters=bool(g("use_adaptive_parameters", 1.0)),
+            diversity_threshold=float(g("diversity_threshold", 0.1)),
+            restart_threshold=float(g("restart_threshold", 1e-6)),
+            quantum_beta=float(g("quantum_beta", 1.0)),
+            levy_alpha=float(g("levy_alpha", 1.5)),
+            max_stagnation=int(g("max_stagnation", 20)),
+        )
+
+
+class PSOState(NamedTuple):
+    x: jnp.ndarray            # (S, d)
+    v: jnp.ndarray            # (S, d)
+    fitness: jnp.ndarray      # (S,) current fitness
+    pbest_x: jnp.ndarray      # (S, d)
+    pbest_f: jnp.ndarray      # (S,)
+    success_count: jnp.ndarray  # (S,)
+    total_updates: jnp.ndarray  # (S,)
+    gbest_x: jnp.ndarray      # (d,)
+    gbest_f: jnp.ndarray      # ()
+    prev_gbest_f: jnp.ndarray  # ()
+    stagnation: jnp.ndarray   # () int
+    evals: jnp.ndarray        # () objective-call counter
+
+
+class PSOResult(NamedTuple):
+    best_x: jnp.ndarray
+    best_f: jnp.ndarray
+    final_cov: jnp.ndarray      # pbest covariance for Phase-2 warm start
+    history_best_f: jnp.ndarray  # (iterations,)
+    final_state: PSOState
+
+
+def _neighbor_table(cfg: PSOConfig) -> Optional[np.ndarray]:
+    """Static neighbor index table (S, K), padded with self-index."""
+    S = cfg.swarm_size
+    if cfg.topology == Topology.LOCAL_BEST:
+        k = 2
+        tab = np.empty((S, 2 * k + 1), dtype=np.int32)
+        for i in range(S):
+            tab[i] = [i] + [((i - j) % S) for j in range(1, k + 1)] + \
+                     [((i + j) % S) for j in range(1, k + 1)]
+        return tab
+    if cfg.topology == Topology.VON_NEUMANN:
+        g = int(math.ceil(math.sqrt(S)))
+        tab = np.empty((S, 5), dtype=np.int32)
+        for i in range(S):
+            row, col = divmod(i, g)
+            neigh = [i]
+            if row > 0 and (row - 1) * g + col < S:
+                neigh.append((row - 1) * g + col)
+            if row < g - 1 and (row + 1) * g + col < S:
+                neigh.append((row + 1) * g + col)
+            if col > 0:
+                neigh.append(row * g + col - 1)
+            if col < g - 1 and row * g + col + 1 < S:
+                neigh.append(row * g + col + 1)
+            while len(neigh) < 5:
+                neigh.append(i)
+            tab[i] = neigh
+        return tab
+    return None
+
+
+def _levy_sigma(alpha: float) -> float:
+    """Mantegna's sigma_u (:908-920)."""
+    num = math.gamma(1 + alpha) * math.sin(math.pi * alpha / 2)
+    den = math.gamma((1 + alpha) / 2) * alpha * 2 ** ((alpha - 1) / 2)
+    return (num / den) ** (1.0 / alpha)
+
+
+def _levy_vector(key, shape, alpha: float, dtype):
+    ku, kv = jax.random.split(key)
+    u = jax.random.normal(ku, shape, dtype=dtype) * _levy_sigma(alpha)
+    v = jnp.maximum(jnp.abs(jax.random.normal(kv, shape, dtype=dtype)), 1e-10)
+    step = u / v ** (1.0 / alpha)
+    return jnp.clip(step, -100.0, 100.0)
+
+
+def _evolutionary_factor(state: PSOState) -> jnp.ndarray:
+    """Swarm-distance + fitness-dispersion factor (:446-479)."""
+    dist = jnp.linalg.norm(state.x - state.gbest_x[None, :], axis=1)
+    mean_d, max_d = jnp.mean(dist), jnp.max(dist)
+    distance_factor = jnp.where(max_d > 0, mean_d / max_d, 0.0)
+
+    f = state.fitness
+    mean_f, max_f, min_f = jnp.mean(f), jnp.max(f), jnp.min(f)
+    f_range = jnp.maximum(max_f - min_f, 1e-10)
+    fitness_factor = (max_f - mean_f) / f_range
+    return 0.5 * distance_factor + 0.5 * (1.0 - fitness_factor)
+
+
+def _adapt_parameters(factor, ratio, key, dtype):
+    """omega/c1/c2 per evolutionary state (:481-525). Returns scalars."""
+    state_idx = jnp.where(factor > 0.7, 0,
+                          jnp.where(factor > 0.4, 1, jnp.where(factor > 0.2, 2, 3)))
+    u1, u2, u3 = jax.random.uniform(key, (3,), dtype=dtype)
+
+    omega = jnp.select(
+        [state_idx == 0, state_idx == 1, state_idx == 2, state_idx == 3],
+        [0.9 - 0.2 * ratio, 0.7 - 0.3 * ratio, 0.4 - 0.3 * ratio, 0.9 + 0.1 * u1])
+    c1 = jnp.select(
+        [state_idx == 0, state_idx == 1, state_idx == 2, state_idx == 3],
+        [1.5 + 0.5 * jnp.sin(ratio * jnp.pi), 2.0 - ratio, 1.0 - 0.5 * ratio,
+         2.5 + u2])
+    c2 = jnp.select(
+        [state_idx == 0, state_idx == 1, state_idx == 2, state_idx == 3],
+        [1.5 - 0.5 * jnp.sin(ratio * jnp.pi), 1.0 + ratio, 2.0 + 0.5 * ratio,
+         0.5 + u3])
+    return (jnp.clip(omega, 0.1, 1.0), jnp.clip(c1, 0.0, 4.0),
+            jnp.clip(c2, 0.0, 4.0), state_idx)
+
+
+def _standard_update(x, v, pbest_x, lbest_x, omega, c1, c2, lo, hi, key):
+    S, d = x.shape
+    r1, r2 = jax.random.uniform(key, (2, S, d), dtype=x.dtype)
+    v_new = omega * v + c1 * r1 * (pbest_x - x) + c2 * r2 * (lbest_x - x)
+    vmax = 0.2 * (hi - lo)
+    v_new = jnp.clip(v_new, -vmax, vmax)
+    x_new = x + v_new
+    # Reflective boundary handling with velocity dampening (:606-617)
+    below, above = x_new < lo, x_new > hi
+    x_new = jnp.where(below, lo + jnp.abs(x_new - lo), x_new)
+    x_new = jnp.where(above, hi - jnp.abs(x_new - hi), x_new)
+    v_new = jnp.where(below | above, v_new * -0.5, v_new)
+    return jnp.clip(x_new, lo, hi), v_new
+
+
+def _quantum_update(x, pbest_x, gbest_x, mean_best, beta, lo, hi, key):
+    S, d = x.shape
+    k1, k2, k3 = jax.random.split(key, 3)
+    phi = jax.random.uniform(k1, (S, 1), dtype=x.dtype)
+    attractor = phi * pbest_x + (1 - phi) * gbest_x[None, :]
+    u = jax.random.uniform(k2, (S, d), dtype=x.dtype, minval=1e-12)
+    L = 2.0 * beta * jnp.abs(mean_best[None, :] - x)
+    sign = jnp.where(jax.random.uniform(k3, (S, d), dtype=x.dtype) < 0.5, 1.0, -1.0)
+    x_new = attractor + sign * L * jnp.log(1.0 / u)
+    return jnp.clip(x_new, lo, hi)
+
+
+def pso_step(state: PSOState, key, it, cfg: PSOConfig, space: ParameterSpace,
+             fitness_batch: Callable, neighbor_tab) -> PSOState:
+    S, d = state.x.shape
+    dtype = state.x.dtype
+    lo, hi = space.lower.astype(dtype), space.upper.astype(dtype)
+    keys = jax.random.split(key, 8)
+
+    ratio = jnp.where(cfg.iterations > 1, it / max(cfg.iterations - 1, 1), 0.0
+                      ).astype(dtype)
+
+    # --- omega / c1 / c2 --------------------------------------------------
+    if cfg.use_adaptive_parameters:
+        factor = _evolutionary_factor(state)
+        omega, c1, c2, _ese = _adapt_parameters(factor, ratio, keys[0], dtype)
+    else:
+        omega = cfg.omega_start + (cfg.omega_end - cfg.omega_start) * ratio
+        c1 = cfg.c1_initial + (cfg.c1_final - cfg.c1_initial) * ratio
+        c2 = cfg.c2_initial + (cfg.c2_final - cfg.c2_initial) * ratio
+
+    # --- neighborhood best ------------------------------------------------
+    if cfg.topology == Topology.GLOBAL_BEST:
+        lbest_x = jnp.broadcast_to(state.gbest_x, (S, d))
+    elif cfg.topology == Topology.RANDOM_DYNAMIC:
+        idx = jax.random.randint(keys[1], (S, 4), 0, S)
+        idx = jnp.concatenate([jnp.arange(S)[:, None], idx], axis=1)
+        nf = state.pbest_f[idx]                       # (S, 5)
+        best = jnp.argmax(nf, axis=1)
+        lbest_x = state.pbest_x[jnp.take_along_axis(idx, best[:, None], 1)[:, 0]]
+    else:
+        tab = jnp.asarray(neighbor_tab)
+        nf = state.pbest_f[tab]                       # (S, K)
+        best = jnp.argmax(nf, axis=1)
+        lbest_x = state.pbest_x[jnp.take_along_axis(tab, best[:, None], 1)[:, 0]]
+
+    # --- position update per variant -------------------------------------
+    mean_best = jnp.mean(state.pbest_x, axis=0)
+    if cfg.variant in (PSOVariant.STANDARD, PSOVariant.ADAPTIVE):
+        x_new, v_new = _standard_update(state.x, state.v, state.pbest_x, lbest_x,
+                                        omega, c1, c2, lo, hi, keys[2])
+    elif cfg.variant == PSOVariant.QUANTUM:
+        beta = cfg.quantum_beta * (1.0 - 0.5 * it / cfg.iterations)
+        x_new = _quantum_update(state.x, state.pbest_x, state.gbest_x, mean_best,
+                                beta, lo, hi, keys[2])
+        v_new = state.v
+    elif cfg.variant == PSOVariant.LEVY_FLIGHT:
+        x_new, v_new = _standard_update(state.x, state.v, state.pbest_x,
+                                        jnp.broadcast_to(state.gbest_x, (S, d)),
+                                        omega, c1, c2, lo, hi, keys[2])
+        success_rate = state.success_count / jnp.maximum(state.total_updates, 1)
+        levy_prob = 0.1 * (1.0 + success_rate)
+        do_levy = jax.random.uniform(keys[3], (S,), dtype=dtype) < levy_prob
+        step_scale = 0.01 * (1.0 - state.stagnation / cfg.max_stagnation)
+        levy = _levy_vector(keys[4], (S, d), cfg.levy_alpha, dtype)
+        x_new = jnp.where(do_levy[:, None],
+                          jnp.clip(x_new + step_scale * (hi - lo) * levy, lo, hi),
+                          x_new)
+    else:  # HYBRID: per-particle choice by success rate (:399-409)
+        x_std, v_std = _standard_update(state.x, state.v, state.pbest_x, lbest_x,
+                                        omega, c1, c2, lo, hi, keys[2])
+        beta = cfg.quantum_beta * (1.0 - 0.5 * it / cfg.iterations)
+        x_qtm = _quantum_update(state.x, state.pbest_x, state.gbest_x, mean_best,
+                                beta, lo, hi, keys[5])
+        success_rate = state.success_count / jnp.maximum(state.total_updates, 1)
+        u = jax.random.uniform(keys[6], (S,), dtype=dtype)
+        levy = _levy_vector(keys[4], (S, d), cfg.levy_alpha, dtype)
+        step_scale = 0.01 * (1.0 - state.stagnation / cfg.max_stagnation)
+        x_lvy = jnp.clip(x_std + step_scale * (hi - lo) * levy, lo, hi)
+        use_levy = (success_rate < 0.3) & (u < 0.5)
+        use_qtm = (success_rate > 0.7) & (u < 0.3)
+        x_new = jnp.where(use_levy[:, None], x_lvy,
+                          jnp.where(use_qtm[:, None], x_qtm, x_std))
+        v_new = jnp.where(use_qtm[:, None], state.v, v_std)
+
+    # --- evaluate + pbest/gbest updates -----------------------------------
+    f_new = fitness_batch(x_new)
+    improved = f_new > state.pbest_f
+    pbest_x = jnp.where(improved[:, None], x_new, state.pbest_x)
+    pbest_f = jnp.where(improved, f_new, state.pbest_f)
+    best_i = jnp.argmax(pbest_f)
+    gbest_f = jnp.maximum(state.gbest_f, pbest_f[best_i])
+    gbest_x = jnp.where(pbest_f[best_i] > state.gbest_f, pbest_x[best_i],
+                        state.gbest_x)
+
+    return state._replace(
+        x=x_new, v=v_new, fitness=f_new, pbest_x=pbest_x, pbest_f=pbest_f,
+        success_count=state.success_count + improved.astype(jnp.int32),
+        total_updates=state.total_updates + 1,
+        gbest_x=gbest_x, gbest_f=gbest_f,
+        evals=state.evals + S)
+
+
+def _elitist_learning(state: PSOState, key, cfg: PSOConfig,
+                      space: ParameterSpace, fitness_batch) -> PSOState:
+    """Gaussian polish of the best particle (:706-740), batched over the three
+    sigma-halved attempts."""
+    dtype = state.x.dtype
+    lo, hi = space.lower.astype(dtype), space.upper.astype(dtype)
+    best_i = jnp.argmax(state.pbest_f)
+    bx = state.pbest_x[best_i]
+    bf = state.pbest_f[best_i]
+    success_rate = (state.success_count[best_i] /
+                    jnp.maximum(state.total_updates[best_i], 1))
+    sigma0 = 0.1 * jnp.exp(-2.0 * success_rate)
+    sigmas = sigma0 * jnp.asarray([1.0, 0.5, 0.25], dtype=dtype)
+    noise = jax.random.normal(key, (3,) + bx.shape, dtype=dtype)
+    trials = jnp.clip(bx[None, :] + sigmas[:, None] * (hi - lo) * noise, lo, hi)
+    tf = fitness_batch(trials)
+    # first improving attempt (sequential short-circuit semantics)
+    improving = tf > bf
+    any_improve = jnp.any(improving)
+    first = jnp.argmax(improving)
+    new_x = jnp.where(any_improve, trials[first], bx)
+    new_f = jnp.where(any_improve, tf[first], bf)
+
+    pbest_x = state.pbest_x.at[best_i].set(new_x)
+    pbest_f = state.pbest_f.at[best_i].set(new_f)
+    x = state.x.at[best_i].set(jnp.where(any_improve, new_x, state.x[best_i]))
+    gbest_f = jnp.maximum(state.gbest_f, new_f)
+    gbest_x = jnp.where(new_f > state.gbest_f, new_x, state.gbest_x)
+    return state._replace(x=x, pbest_x=pbest_x, pbest_f=pbest_f,
+                          gbest_x=gbest_x, gbest_f=gbest_f,
+                          evals=state.evals + 3)
+
+
+def _restart_swarm(state: PSOState, key, cfg: PSOConfig, space: ParameterSpace,
+                   fitness_batch) -> PSOState:
+    """Stagnation restart keeping the elite particles (:742-814)."""
+    S, d = state.x.shape
+    dtype = state.x.dtype
+    lo, hi = space.lower.astype(dtype), space.upper.astype(dtype)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+
+    keep = cfg.elite_count
+    order = jnp.argsort(-state.pbest_f)
+    elite_idx = order[:keep]
+    is_elite = jnp.zeros((S,), dtype=bool).at[elite_idx].set(True)
+
+    # re-seed non-elites: 70% around a random elite, 30% uniform (:778-795)
+    assign = jax.random.randint(k1, (S,), 0, keep)
+    anchor = state.pbest_x[elite_idx][assign]            # (S, d)
+    u = jax.random.uniform(k2, (S, d), dtype=dtype)
+    sigma = 0.3 * (hi - lo) * (1.0 + 0.5 * u)
+    x_near = anchor + sigma * jax.random.normal(k3, (S, d), dtype=dtype)
+    x_unif = lo + jax.random.uniform(k4, (S, d), dtype=dtype) * (hi - lo)
+    pick_near = jax.random.uniform(k5, (S, d), dtype=dtype) < 0.7
+    x_new = jnp.clip(jnp.where(pick_near, x_near, x_unif), lo, hi)
+    vmax = 0.2 * (hi - lo)
+    v_new = -vmax + 2 * vmax * jax.random.uniform(
+        jax.random.fold_in(k5, 1), (S, d), dtype=dtype)
+
+    x = jnp.where(is_elite[:, None], state.x, x_new)
+    v = jnp.where(is_elite[:, None], state.v, v_new)
+    f = fitness_batch(x)
+    f = jnp.where(is_elite, state.fitness, f)
+    pbest_x = jnp.where(is_elite[:, None], state.pbest_x, x)
+    pbest_f = jnp.where(is_elite, state.pbest_f, f)
+    return state._replace(
+        x=x, v=v, fitness=f, pbest_x=pbest_x, pbest_f=pbest_f,
+        success_count=jnp.where(is_elite, state.success_count, 0),
+        total_updates=jnp.where(is_elite, state.total_updates, 0),
+        stagnation=jnp.zeros_like(state.stagnation),
+        evals=state.evals + S)
+
+
+def init_pso_state(space: ParameterSpace, key, cfg: PSOConfig, fitness_batch,
+                   theta0: Optional[jnp.ndarray] = None,
+                   dtype=jnp.float64) -> PSOState:
+    S, d = cfg.swarm_size, space.dim
+    lo, hi = space.lower.astype(dtype), space.upper.astype(dtype)
+    k1, k2 = jax.random.split(key)
+    x = lo + jax.random.uniform(k1, (S, d), dtype=dtype) * (hi - lo)
+    if theta0 is not None:
+        x = x.at[0].set(jnp.clip(jnp.asarray(theta0, dtype=dtype), lo, hi))
+    if cfg.use_opposition_learning:
+        # evaluate each particle and its opposite, keep the better (:527-574)
+        x_opp = lo + hi - x
+        f = fitness_batch(x)
+        f_opp = fitness_batch(x_opp)
+        take_opp = f_opp > f
+        if theta0 is not None:
+            take_opp = take_opp.at[0].set(False)
+        x = jnp.where(take_opp[:, None], x_opp, x)
+        f = jnp.where(take_opp, f_opp, f)
+        evals = 2 * S
+    else:
+        f = fitness_batch(x)
+        evals = S
+    vmax = 0.2 * (hi - lo)
+    v = -vmax + 2 * vmax * jax.random.uniform(k2, (S, d), dtype=dtype)
+    best_i = jnp.argmax(f)
+    return PSOState(
+        x=x, v=v, fitness=f, pbest_x=x, pbest_f=f,
+        success_count=jnp.zeros((S,), dtype=jnp.int32),
+        total_updates=jnp.zeros((S,), dtype=jnp.int32),
+        gbest_x=x[best_i], gbest_f=f[best_i],
+        prev_gbest_f=jnp.asarray(-jnp.inf, dtype=dtype),
+        stagnation=jnp.zeros((), dtype=jnp.int32),
+        evals=jnp.asarray(evals, dtype=jnp.int32))
+
+
+def run_pso(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    key: jax.Array,
+    cfg: PSOConfig,
+    *,
+    theta0: Optional[jnp.ndarray] = None,
+    dtype=None,
+) -> PSOResult:
+    """Run PSO; the objective is maximized (log-likelihood convention)."""
+    if dtype is None:
+        dtype = space.lower.dtype
+    fitness_batch = jax.vmap(loglik)
+    neighbor_tab = _neighbor_table(cfg)
+    k_init, k_run = jax.random.split(key)
+    state0 = init_pso_state(space, k_init, cfg, fitness_batch, theta0, dtype)
+
+    def iteration(state: PSOState, xs):
+        it, k = xs
+        k_restart, k_step, k_els = jax.random.split(k, 3)
+
+        # stagnation bookkeeping + restart (:254-268)
+        stagnant = jnp.abs(state.gbest_f - state.prev_gbest_f) < cfg.restart_threshold
+        stag = jnp.where(stagnant, state.stagnation + 1, 0)
+        state = state._replace(stagnation=stag, prev_gbest_f=state.gbest_f)
+        state = jax.lax.cond(stag > cfg.max_stagnation,
+                             lambda s: _restart_swarm(s, k_restart, cfg, space,
+                                                      fitness_batch),
+                             lambda s: s, state)
+
+        state = pso_step(state, k_step, it, cfg, space, fitness_batch,
+                         neighbor_tab)
+
+        if cfg.variant in (PSOVariant.ADAPTIVE, PSOVariant.HYBRID):
+            state = jax.lax.cond(
+                it % 5 == 0,
+                lambda s: _elitist_learning(s, k_els, cfg, space, fitness_batch),
+                lambda s: s, state)
+        return state, state.gbest_f
+
+    @jax.jit
+    def run(state0, k_run):
+        its = jnp.arange(cfg.iterations)
+        keys = jax.random.split(k_run, cfg.iterations)
+        state, hist = jax.lax.scan(iteration, state0, (its, keys))
+        mean = jnp.mean(state.pbest_x, axis=0)
+        centered = state.pbest_x - mean
+        cov = (centered.T @ centered) / max(cfg.swarm_size - 1, 1)
+        return PSOResult(best_x=state.gbest_x, best_f=state.gbest_f,
+                         final_cov=cov, history_best_f=hist, final_state=state)
+
+    return run(state0, k_run)

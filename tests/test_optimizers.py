@@ -1,0 +1,191 @@
+"""Optimizer tests: PSO (all variants/topologies), hill climbing, NUTS, and the
+two-phase calibrator — on analytic objectives (fast, no ODE).
+
+The reference ships zero optimizer tests (SURVEY.md section 4); these cover the
+whole menu.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmidv1_tpu.calibration import (HillClimbConfig, MHConfig, NUTSConfig,
+                                    ParameterSpace, PSOConfig, PSOVariant,
+                                    Topology, calibrate, condition_covariance,
+                                    run_hill_climb, run_nuts, run_pso)
+
+
+def _space(d, lo=-5.0, hi=5.0, sigma=0.3):
+    return ParameterSpace(
+        names=tuple(f"x{i}" for i in range(d)),
+        lower=jnp.full((d,), lo), upper=jnp.full((d,), hi),
+        sigmas=jnp.full((d,), sigma), _scatter={})
+
+
+def _quadratic(mu):
+    mu = jnp.asarray(mu)
+    return lambda x: -jnp.sum((x - mu) ** 2)
+
+
+def _rosenbrock(x):
+    return -jnp.sum(100.0 * (x[1:] - x[:-1] ** 2) ** 2 + (1 - x[:-1]) ** 2)
+
+
+# ------------------------------------------------------------------- PSO
+
+@pytest.mark.parametrize("variant", list(PSOVariant))
+def test_pso_variants_converge(variant):
+    d = 4
+    space = _space(d)
+    mu = jnp.asarray([1.0, -2.0, 0.5, 3.0])
+    cfg = PSOConfig(iterations=60, swarm_size=48, variant=variant,
+                    topology=Topology.GLOBAL_BEST)
+    res = run_pso(_quadratic(mu), space, jax.random.PRNGKey(0), cfg)
+    assert float(res.best_f) > -0.05, (variant, float(res.best_f))
+    np.testing.assert_allclose(np.asarray(res.best_x), np.asarray(mu), atol=0.25)
+
+
+@pytest.mark.parametrize("topology", list(Topology))
+def test_pso_topologies_converge(topology):
+    d = 3
+    space = _space(d)
+    mu = jnp.asarray([0.5, -1.0, 2.0])
+    cfg = PSOConfig(iterations=60, swarm_size=49, variant=PSOVariant.STANDARD,
+                    topology=topology)
+    res = run_pso(_quadratic(mu), space, jax.random.PRNGKey(1), cfg)
+    assert float(res.best_f) > -0.05, (topology, float(res.best_f))
+
+
+def test_pso_respects_bounds_and_improves_monotonically():
+    d = 3
+    space = _space(d, lo=0.0, hi=1.0)
+    cfg = PSOConfig(iterations=40, swarm_size=32)
+    res = run_pso(_quadratic(jnp.full((d,), 2.0)), space, jax.random.PRNGKey(2),
+                  cfg)
+    # optimum outside bounds -> best must sit at the upper bound
+    np.testing.assert_allclose(np.asarray(res.best_x), 1.0, atol=1e-3)
+    hist = np.asarray(res.history_best_f)
+    assert (np.diff(hist) >= -1e-12).all()  # gbest is monotone
+    # final covariance is symmetric PSD-ish
+    c = np.asarray(res.final_cov)
+    np.testing.assert_allclose(c, c.T, atol=1e-12)
+
+
+def test_pso_history_and_cov_shapes():
+    d = 2
+    space = _space(d)
+    cfg = PSOConfig(iterations=10, swarm_size=8)
+    res = run_pso(_quadratic(jnp.zeros(d)), space, jax.random.PRNGKey(3), cfg)
+    assert res.history_best_f.shape == (10,)
+    assert res.final_cov.shape == (2, 2)
+
+
+# ------------------------------------------------------------- hill climbing
+
+def test_hill_climb_quadratic():
+    d = 5
+    space = _space(d)
+    mu = jnp.asarray([1.0, -2.0, 0.5, 3.0, -4.0])
+    cfg = HillClimbConfig(iterations=80, cloud_size=24)
+    res = run_hill_climb(_quadratic(mu), space, jnp.zeros(d),
+                         jax.random.PRNGKey(0), cfg)
+    assert float(res.best_logl) > -0.01, float(res.best_logl)
+    np.testing.assert_allclose(np.asarray(res.best_x), np.asarray(mu), atol=0.15)
+    hist = np.asarray(res.history_best)
+    assert (np.diff(hist) >= -1e-12).all()
+
+
+def test_hill_climb_rosenbrock_progress():
+    d = 4
+    space = _space(d, lo=-2.0, hi=2.0, sigma=0.1)
+    cfg = HillClimbConfig(iterations=150, cloud_size=32)
+    res = run_hill_climb(_rosenbrock, space, jnp.full((d,), -1.0),
+                         jax.random.PRNGKey(1), cfg)
+    # Rosenbrock is hard; require substantial improvement over the start
+    start = float(_rosenbrock(jnp.full((d,), -1.0)))
+    assert float(res.best_logl) > start * 0.01, (start, float(res.best_logl))
+
+
+def test_hill_climb_line_search_exploits_direction():
+    """On a smooth 1-d slope the expansion ladder should travel far in one
+    iteration (the crawler strategy)."""
+    space = _space(1, lo=-100.0, hi=100.0, sigma=0.5)
+    f = lambda x: -jnp.sum((x - 50.0) ** 2)
+    cfg = HillClimbConfig(iterations=10, cloud_size=8)
+    res = run_hill_climb(f, space, jnp.zeros(1), jax.random.PRNGKey(2), cfg)
+    assert float(res.best_x[0]) > 30.0  # covered most of the distance quickly
+
+
+# -------------------------------------------------------------------- NUTS
+
+def test_nuts_samples_gaussian():
+    d = 2
+    space = _space(d, lo=-10.0, hi=10.0, sigma=0.5)
+    cov = np.array([[1.0, 0.5], [0.5, 1.5]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    loglik = lambda x: -0.5 * x @ prec @ x
+    cfg = NUTSConfig(iterations=300, adaptation_window=100, max_tree_depth=4)
+    res = run_nuts(loglik, space, jnp.zeros(d), jax.random.PRNGKey(0), cfg,
+                   n_chains=8)
+    s = np.asarray(res.samples[100:]).reshape(-1, d)
+    np.testing.assert_allclose(s.mean(axis=0), 0.0, atol=0.3)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.6)
+    assert np.isfinite(np.asarray(res.step_sizes)).all()
+    acc = float(np.mean(np.asarray(res.mean_accept)))
+    assert 0.3 < acc <= 1.0, acc
+
+
+def test_nuts_uses_gradients():
+    """NUTS on a narrow valley must move along it (gradient-guided), where a
+    random walk of this few iterations would not."""
+    d = 2
+    space = _space(d, lo=-50.0, hi=50.0, sigma=0.1)
+    # narrow valley toward (20, 20)
+    loglik = lambda x: -0.5 * ((x[0] - x[1]) ** 2 / 0.01 +
+                               ((x[0] + x[1]) / 2 - 20.0) ** 2 / 100.0)
+    cfg = NUTSConfig(iterations=150, adaptation_window=50, max_tree_depth=5)
+    res = run_nuts(loglik, space, jnp.zeros(d), jax.random.PRNGKey(1), cfg,
+                   n_chains=4)
+    assert float(res.best_logp) > -30.0
+
+
+# --------------------------------------------------------------- calibrator
+
+def test_condition_covariance_semantics():
+    d = 4
+    sig = jnp.full((d,), 0.5)
+    cov = jnp.diag(jnp.asarray([1e-8, 0.1, 0.2, 0.3]))  # one collapsed direction
+    out = np.asarray(condition_covariance(cov, sig))
+    np.testing.assert_allclose(out, out.T, atol=1e-12)
+    evals = np.linalg.eigvalsh(out)
+    # eigenvalue floor: (0.1*0.5)^2 * 4 inflation = 0.01
+    assert evals.min() >= 0.0099
+    # inflation: the large directions are ~4x
+    assert abs(out[3, 3] - 4 * 0.3) < 0.01
+
+
+@pytest.mark.parametrize("algorithm", ["psomcmc", "hillmcmc", "nuts"])
+def test_calibrate_end_to_end(algorithm):
+    d = 3
+    space = _space(d)
+    mu = jnp.asarray([1.0, -1.0, 0.5])
+    loglik = _quadratic(mu)
+    res = calibrate(
+        loglik, loglik, space, jnp.zeros(d), jax.random.PRNGKey(0),
+        algorithm=algorithm,
+        phase1_config=PSOConfig(iterations=30, swarm_size=24)
+        if algorithm == "psomcmc" else HillClimbConfig(iterations=40, cloud_size=16),
+        mh_config=MHConfig(iterations=400, burn_in=100, thinning=4),
+        nuts_config=NUTSConfig(iterations=200, adaptation_window=50,
+                               max_tree_depth=4),
+        n_chains=8)
+    np.testing.assert_allclose(np.asarray(res.best_theta), np.asarray(mu),
+                               atol=0.3)
+    assert float(res.best_logl) > -0.1
+    if algorithm != "nuts":
+        assert res.samples is not None
+        assert res.phase1_cov is not None
+        # posterior of -|x-mu|^2 is N(mu, I/2): check sample mean
+        pooled = np.asarray(res.samples[50:]).reshape(-1, d)
+        np.testing.assert_allclose(pooled.mean(axis=0), np.asarray(mu), atol=0.25)
