@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""TPU benchmark: vmapped full-year SEPAIHRD solve throughput + MCMC step rate.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Primary metric: full 365-day Spain-2020 SEPAIHRD solves/sec/chip (vmapped,
+float32, fixed-grid Dopri5 with 4 substeps/day — the configuration whose
+trajectories match the C++ reference at rtol 1e-6, see PARITY.md).
+``vs_baseline`` is the ratio against the BASELINE.md north-star target of
+1e5 solves/sec/chip (the reference itself publishes no numbers; its harness
+metrics — µs/objective-eval, sampler wall time — are reported as secondary
+metrics on stderr and in BENCH_DETAILS.json).
+
+Reference harness being reproduced:
+``src/model/sepaihrd_objective_benchmark_main.cpp:420-557`` (µs/eval, optimizer
+wall-ms, eval counts).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+TARGET_SOLVES_PER_SEC = 1e5
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, reps=3):
+    """Median wall-time of reps calls (fn must block on completion)."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(*args)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from mmidv1_tpu.calibration.mh import MHConfig, run_mh
+    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
+    from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
+    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
+                                 read_params_to_calibrate, read_proposal_sigmas,
+                                 read_sepaihrd_parameters)
+    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+    from mmidv1_tpu.models import sepaihrd
+    from mmidv1_tpu.ode import fold_times_fixed
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} / {dev.device_kind}")
+    dtype = jnp.float32
+
+    cfg_dir = os.path.join(REPO, "data", "configuration")
+    data = CalibrationData.from_csv(
+        os.path.join(REPO, "data", "processed", "processed_data.csv"),
+        "2020-03-01", "2020-12-31")
+    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
+    params = read_sepaihrd_parameters(
+        os.path.join(cfg_dir, "initial_guess.txt"), 4,
+        N=data.population_by_age, M_baseline=M, dtype=dtype)
+
+    details = {}
+
+    # ------------------------------------------------------------------
+    # 1) Primary: full 365-day solves/sec/chip (vmapped fused fold)
+    # ------------------------------------------------------------------
+    DAYS = 365
+    SUBSTEPS = 4
+    ts = jnp.arange(-20.0, DAYS - 20.0 + 1.0, dtype=dtype)   # 365 daily intervals
+    y0 = sepaihrd.runup_seeded_state(params, None)
+
+    def one_solve(beta_scale):
+        p = params.replace(beta_values=params.beta_values * beta_scale)
+        ctx = sepaihrd.interval_beta_eff(p, ts)
+        f = lambda t, y, b: sepaihrd.rhs_frozen(t, y, p, b)
+        fold = lambda acc, i, y: acc + y[8].sum()       # consume D row
+        acc, _ = fold_times_fixed(f, y0, ts, fold, jnp.zeros((), dtype),
+                                  substeps=SUBSTEPS, method="dopri5",
+                                  interval_ctx=ctx)
+        return acc
+
+    B = int(os.environ.get("BENCH_BATCH", 8192))
+    solve_batch = jax.jit(jax.vmap(one_solve))
+    scales = 1.0 + 0.01 * jax.random.normal(jax.random.PRNGKey(0), (B,), dtype=dtype)
+
+    t0 = time.perf_counter()
+    solve_batch(scales).block_until_ready()
+    log(f"solve compile+first run: {time.perf_counter() - t0:.1f}s (B={B})")
+    dt = timed(lambda s: solve_batch(s).block_until_ready(), scales)
+    solves_per_sec = B / dt
+    details["sepaihrd_365d_solves_per_sec_per_chip"] = solves_per_sec
+    details["solve_batch"] = B
+    details["solve_wall_s"] = dt
+    log(f"365-day solves/sec/chip: {solves_per_sec:.3e}  "
+        f"(target {TARGET_SOLVES_PER_SEC:.0e}, x{solves_per_sec/TARGET_SOLVES_PER_SEC:.2f})")
+
+    # ------------------------------------------------------------------
+    # 2) Objective µs/eval on the real Spain grid (ref harness micro mode)
+    # ------------------------------------------------------------------
+    names = read_params_to_calibrate(os.path.join(cfg_dir, "params_to_calibrate.txt"))
+    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
+    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
+    space = ParameterSpace.create(names, bounds, sigmas, params)
+    ts_cal = make_time_grid(float(np.asarray(params.runup_days)),
+                            data.n_data_points)
+    loglik = build_objective(space, params, data, ts_cal, substeps=SUBSTEPS,
+                             constraint_mode=REFLECT, dtype=dtype)
+    theta0 = space.extract(params).astype(dtype)
+
+    obj_batch = jax.jit(jax.vmap(loglik))
+    thetas = theta0[None, :] + 0.01 * space.sigmas.astype(dtype) * \
+        jax.random.normal(jax.random.PRNGKey(1), (B, space.dim), dtype=dtype)
+    t0 = time.perf_counter()
+    obj_batch(thetas).block_until_ready()
+    log(f"objective compile+first run: {time.perf_counter() - t0:.1f}s")
+    dt = timed(lambda t: obj_batch(t).block_until_ready(), thetas)
+    evals_per_sec = B / dt
+    details["objective_evals_per_sec_per_chip"] = evals_per_sec
+    details["objective_us_per_eval"] = 1e6 / evals_per_sec
+    log(f"objective evals/sec/chip: {evals_per_sec:.3e} "
+        f"({1e6/evals_per_sec:.3f} us/eval amortized)")
+
+    # ------------------------------------------------------------------
+    # 3) MCMC chain-steps/sec at 8192 chains (headline sampler workload)
+    # ------------------------------------------------------------------
+    N_CHAINS = int(os.environ.get("BENCH_CHAINS", 8192))
+    # Two-point measurement: run_mh re-traces per call, so time a short and a
+    # long run and difference them — trace/compile/init cancel, leaving the
+    # steady-state per-step cost.
+    STEPS_SHORT, STEPS_LONG = 10, 110
+
+    def mh_run(key, steps):
+        cfg = MHConfig(iterations=steps, burn_in=4, adaptation_period=50,
+                       thinning=10)
+        return run_mh(loglik, space, theta0, key, cfg, n_chains=N_CHAINS)
+
+    t0 = time.perf_counter()
+    mh_run(jax.random.PRNGKey(2), STEPS_SHORT).best_logp.block_until_ready()
+    log(f"mcmc compile+first run: {time.perf_counter() - t0:.1f}s")
+    t_short = timed(lambda k: mh_run(k, STEPS_SHORT).best_logp.block_until_ready(),
+                    jax.random.PRNGKey(3), reps=2)
+    t_long = timed(lambda k: mh_run(k, STEPS_LONG).best_logp.block_until_ready(),
+                   jax.random.PRNGKey(4), reps=2)
+    dt = max(t_long - t_short, 1e-9)
+    chain_steps_per_sec = N_CHAINS * (STEPS_LONG - STEPS_SHORT) / dt
+    details["mcmc_chain_steps_per_sec_8192_chains"] = chain_steps_per_sec
+    details["mcmc_chains"] = N_CHAINS
+    log(f"mcmc chain-steps/sec ({N_CHAINS} chains): {chain_steps_per_sec:.3e}")
+
+    with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
+        json.dump(details, f, indent=2)
+
+    print(json.dumps({
+        "metric": "sepaihrd_365d_solves_per_sec_per_chip",
+        "value": solves_per_sec,
+        "unit": "solves/s/chip",
+        "vs_baseline": solves_per_sec / TARGET_SOLVES_PER_SEC,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -234,8 +234,11 @@ def run_nuts(
                           jnp.asarray(1, jnp.int32), jnp.asarray(1, jnp.int32),
                           jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
             sample_x, sample_logp = x, logp
-            alpha_stat = jnp.asarray(0.5, dtype)
-            n_alpha_stat = jnp.asarray(1.0, dtype)
+            # Hoffman & Gelman Alg. 6 starts the dual-averaging accept statistic
+            # empty; a pseudo-observation (0.5, 1) would bias it toward 0.5 for
+            # shallow trees and slow step-size adaptation (round-1 advisor).
+            alpha_stat = jnp.asarray(0.0, dtype)
+            n_alpha_stat = jnp.asarray(0.0, dtype)
             keys = jax.random.split(k_tree, cfg.max_tree_depth)
             n_cum = jnp.asarray(1.0, dtype)
             for j in range(cfg.max_tree_depth):
@@ -279,7 +282,7 @@ def run_nuts(
                     theta_plus=theta_plus, r_plus=r_plus, grad_plus=grad_plus,
                     s_prime=s_new)
 
-            accept_stat = alpha_stat / n_alpha_stat
+            accept_stat = alpha_stat / jnp.maximum(n_alpha_stat, 1.0)
             new_logp, new_grad = safe_vag(sample_x)
             # non-finite iteration -> repeat previous sample (:99-106)
             ok = jnp.isfinite(new_logp) & (new_logp > -1e17)

@@ -126,6 +126,12 @@ class ParameterSpace:
         if not names:
             raise InvalidParameterException("ParameterSpace",
                                             "Parameter names list cannot be empty.")
+        if len(set(names)) != len(names):
+            dupes = sorted({n for n in names if list(names).count(n) > 1})
+            raise InvalidParameterException(
+                "ParameterSpace",
+                f"Duplicate parameter names: {dupes} (aliased theta entries "
+                "would silently shadow each other)")
         n_ages = template.n_ages
         n_beta = int(template.beta_values.shape[-1])
         n_kappa = int(template.kappa_values.shape[-1])

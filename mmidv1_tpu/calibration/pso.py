@@ -447,14 +447,22 @@ def run_pso(
     *,
     theta0: Optional[jnp.ndarray] = None,
     dtype=None,
+    initial_state: Optional[PSOState] = None,
 ) -> PSOResult:
-    """Run PSO; the objective is maximized (log-likelihood convention)."""
+    """Run PSO; the objective is maximized (log-likelihood convention).
+
+    ``initial_state`` skips swarm initialization — used to resume a run or to
+    feed a mesh-sharded state (:func:`mmidv1_tpu.parallel.run_pso_sharded`).
+    """
     if dtype is None:
         dtype = space.lower.dtype
     fitness_batch = jax.vmap(loglik)
     neighbor_tab = _neighbor_table(cfg)
     k_init, k_run = jax.random.split(key)
-    state0 = init_pso_state(space, k_init, cfg, fitness_batch, theta0, dtype)
+    if initial_state is not None:
+        state0 = initial_state
+    else:
+        state0 = init_pso_state(space, k_init, cfg, fitness_batch, theta0, dtype)
 
     def iteration(state: PSOState, xs):
         it, k = xs

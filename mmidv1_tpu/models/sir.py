@@ -193,13 +193,19 @@ def stochastic_statistics(trajectories: jnp.ndarray):
     """Per-(step, compartment) mean/median/p5/p95 across simulations
     (``SIR_stochastic.cpp:211-255``) in one vectorized reduction.
 
-    ``trajectories``: (num_sims, T, 3). Returns dict of (T, 3) arrays.
+    ``trajectories``: (num_sims, T, 3). Returns dict of (T, 3) NumPy arrays.
+    Computed host-side with double-precision NumPy: this is a post-hoc summary,
+    not a jit-critical path, and ``jnp.percentile``'s interpolation arithmetic on
+    some backends carries enough rounding noise that p05 of a constant array can
+    exceed p95 (round-1 advisor finding).
     """
-    mean = jnp.mean(trajectories, axis=0)
-    median = jnp.median(trajectories, axis=0)
-    p05 = jnp.percentile(trajectories, 5.0, axis=0)
-    p95 = jnp.percentile(trajectories, 95.0, axis=0)
-    return {"mean": mean, "median": median, "p05": p05, "p95": p95}
+    traj = np.asarray(trajectories, dtype=np.float64)
+    return {
+        "mean": np.mean(traj, axis=0),
+        "median": np.median(traj, axis=0),
+        "p05": np.percentile(traj, 5.0, axis=0),
+        "p95": np.percentile(traj, 95.0, axis=0),
+    }
 
 
 # --------------------------------------------------------------------------

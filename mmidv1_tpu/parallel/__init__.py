@@ -1,0 +1,20 @@
+"""Mesh-sharded scale-out layer (the distributed backend SURVEY.md §5.7 calls for).
+
+See :mod:`mmidv1_tpu.parallel.mesh` for the design notes.
+"""
+
+from .ensemble import run_mh_gspmd, run_mh_sharded, run_pso_sharded
+from .mesh import (CHAINS_AXIS, batch_sharding, check_divisible, ensemble_mesh,
+                   replicated_sharding, shard_ensemble_pytree)
+
+__all__ = [
+    "CHAINS_AXIS",
+    "batch_sharding",
+    "check_divisible",
+    "ensemble_mesh",
+    "replicated_sharding",
+    "shard_ensemble_pytree",
+    "run_mh_gspmd",
+    "run_mh_sharded",
+    "run_pso_sharded",
+]

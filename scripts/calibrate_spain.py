@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""End-to-end Spain-2020 SEPAIHRD calibration — the reproducible artifact.
+
+Runs the reference's primary workload (``src/model/main.cpp:136-563``):
+load data/configuration -> build the 62-parameter space -> Phase 1 optimizer
+(CLAMP) -> covariance conditioning -> Phase 2 ensemble adaptive-Metropolis
+(REFLECT) -> write re-loadable calibrated parameters + posterior samples +
+run metadata.
+
+The quality bar: final best log-likelihood must EXCEED the reference's
+recorded best 1.41969205e+06 (``data/configuration/initial_guess.txt:3``).
+Note the committed reference parameters themselves evaluate to only
+1.206857e+06 on the committed data (see PARITY.md) — this script demonstrates
+the recalibration actually beating the recorded value.
+
+Usage (defaults give a ~1-minute TPU run that clears the bar):
+    python scripts/calibrate_spain.py [--algorithm psomcmc] [--chains 64]
+        [--pso-particles 512] [--pso-iters 60] [--mcmc-iters 600]
+        [--platform tpu|cpu] [--out results/spain2020] [--full]
+
+``--full`` uses the reference's production configuration files
+(pso_settings.txt / mcmc_settings.txt: 100k iterations, burn-in 5k,
+thinning 100) — a long TPU run.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REFERENCE_BEST_LL = 1.41969205e+06   # data/configuration/initial_guess.txt:3
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--algorithm", default="psomcmc",
+                   choices=["pso", "psomcmc", "hill", "hillmcmc", "nuts"])
+    p.add_argument("--chains", type=int, default=64)
+    p.add_argument("--pso-particles", type=int, default=512)
+    p.add_argument("--pso-iters", type=int, default=60)
+    p.add_argument("--mcmc-iters", type=int, default=600)
+    p.add_argument("--thinning", type=int, default=5)
+    p.add_argument("--burn-in", type=int, default=100)
+    p.add_argument("--substeps", type=int, default=4)
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--x64", action="store_true",
+                   help="float64 (CPU parity runs); default float32")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default=os.path.join(REPO, "results", "spain2020"))
+    p.add_argument("--full", action="store_true",
+                   help="use the production settings files")
+    args = p.parse_args(argv)
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from mmidv1_tpu.calibration.calibrator import calibrate
+    from mmidv1_tpu.calibration.mh import MHConfig
+    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
+    from mmidv1_tpu.calibration.param_space import CLAMP, REFLECT, ParameterSpace
+    from mmidv1_tpu.calibration.pso import PSOConfig
+    from mmidv1_tpu.calibration.hill import HillClimbConfig
+    from mmidv1_tpu.calibration.nuts import NUTSConfig
+    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
+                                 read_params_to_calibrate, read_proposal_sigmas,
+                                 read_sepaihrd_parameters, read_settings,
+                                 save_calibration_results)
+    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+
+    dtype = jnp.float64 if args.x64 else jnp.float32
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} / {dev.device_kind}; dtype {dtype.__name__}")
+
+    cfg_dir = os.path.join(REPO, "data", "configuration")
+    t_load = time.perf_counter()
+    data = CalibrationData.from_csv(
+        os.path.join(REPO, "data", "processed", "processed_data.csv"),
+        "2020-03-01", "2020-12-31")
+    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
+    params = read_sepaihrd_parameters(
+        os.path.join(cfg_dir, "initial_guess.txt"), 4,
+        N=data.population_by_age, M_baseline=M, dtype=dtype)
+    names = read_params_to_calibrate(os.path.join(cfg_dir, "params_to_calibrate.txt"))
+    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
+    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
+    space = ParameterSpace.create(names, bounds, sigmas, params)
+    ts = make_time_grid(float(np.asarray(params.runup_days)), data.n_data_points)
+    print(f"config loaded: {space.dim} calibratable params, "
+          f"{data.n_data_points} observation days, grid {len(ts)} points "
+          f"({time.perf_counter() - t_load:.1f}s)")
+
+    loglik_clamp = build_objective(space, params, data, ts,
+                                   substeps=args.substeps,
+                                   constraint_mode=CLAMP, dtype=dtype)
+    loglik_reflect = build_objective(space, params, data, ts,
+                                     substeps=args.substeps,
+                                     constraint_mode=REFLECT, dtype=dtype)
+    theta0 = space.extract(params).astype(dtype)
+    ll0 = float(loglik_clamp(theta0))
+    print(f"initial objective at committed params: {ll0:.6e} "
+          f"(reference recorded best: {REFERENCE_BEST_LL:.8e})")
+
+    if args.full:
+        pso_cfg = PSOConfig.from_settings(
+            read_settings(os.path.join(cfg_dir, "pso_settings.txt")))
+        mh_cfg = MHConfig.from_settings(
+            read_settings(os.path.join(cfg_dir, "mcmc_settings.txt")))
+        hill_cfg = HillClimbConfig.from_settings(
+            read_settings(os.path.join(cfg_dir, "hill_climbing_settings.txt")))
+        nuts_cfg = NUTSConfig.from_settings(
+            read_settings(os.path.join(cfg_dir, "nuts_settings.txt")))
+    else:
+        pso_cfg = PSOConfig(swarm_size=args.pso_particles, iterations=args.pso_iters)
+        mh_cfg = MHConfig(iterations=args.mcmc_iters, burn_in=args.burn_in,
+                          adaptation_period=50, thinning=args.thinning)
+        hill_cfg = HillClimbConfig(iterations=max(args.pso_iters, 30))
+        nuts_cfg = NUTSConfig(iterations=max(args.mcmc_iters // 10, 50))
+
+    phase1_config = hill_cfg if args.algorithm.startswith("hill") else pso_cfg
+    key = jax.random.PRNGKey(args.seed)
+
+    t0 = time.perf_counter()
+    result = calibrate(loglik_clamp, loglik_reflect, space, theta0, key,
+                       algorithm=args.algorithm, phase1_config=phase1_config,
+                       mh_config=mh_cfg, nuts_config=nuts_cfg,
+                       n_chains=args.chains)
+    best_ll = float(result.best_logl)
+    wall = time.perf_counter() - t0
+    print(f"calibration done in {wall:.1f}s: best logL {best_ll:.6e} "
+          f"({'BEATS' if best_ll > REFERENCE_BEST_LL else 'below'} reference "
+          f"{REFERENCE_BEST_LL:.8e})")
+    if result.phase1_logl is not None:
+        print(f"  phase 1 best: {float(result.phase1_logl):.6e}")
+
+    os.makedirs(args.out, exist_ok=True)
+    best_params = space.apply(params, jnp.asarray(result.best_theta))
+    save_calibration_results(
+        os.path.join(args.out, "calibrated_parameters.txt"),
+        best_params, list(space.names), best_ll)
+
+    if result.samples is not None:
+        np.savez_compressed(
+            os.path.join(args.out, "posterior_samples.npz"),
+            samples=np.asarray(result.samples),
+            logls=np.asarray(result.sample_logls),
+            names=np.asarray(space.names))
+
+    meta = {
+        "best_logl": best_ll,
+        "initial_logl": ll0,
+        "reference_best_logl": REFERENCE_BEST_LL,
+        "beats_reference": best_ll > REFERENCE_BEST_LL,
+        "phase1_logl": (float(result.phase1_logl)
+                        if result.phase1_logl is not None else None),
+        "algorithm": args.algorithm,
+        "chains": args.chains,
+        "pso": dataclasses.asdict(pso_cfg) if args.algorithm.startswith("pso")
+               else None,
+        "mcmc_iterations": mh_cfg.iterations,
+        "substeps": args.substeps,
+        "dtype": dtype.__name__,
+        "seed": args.seed,
+        "wall_seconds": wall,
+        "device": f"{dev.platform}/{dev.device_kind}",
+        "n_params": space.dim,
+        "observation_days": data.n_data_points,
+    }
+    with open(os.path.join(args.out, "run_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    print(f"artifacts written to {args.out}")
+    return 0 if best_ll > REFERENCE_BEST_LL else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,6 +16,11 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
+# The axon sitecustomize registers the TPU backend at interpreter startup,
+# before this conftest can set JAX_PLATFORMS — force CPU via the config API
+# (which wins after import). Tests run on 8 virtual CPU devices; only bench.py
+# and the calibration scripts target the real TPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: XLA-CPU compiles of the scan-heavy solvers dominate
