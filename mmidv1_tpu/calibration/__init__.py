@@ -5,6 +5,8 @@ from .pso import PSOConfig, PSOResult, PSOVariant, Topology, run_pso
 from .hill import HillClimbConfig, HillClimbResult, run_hill_climb
 from .nuts import NUTSConfig, NUTSResult, run_nuts
 from .calibrator import CalibrationResult, calibrate, condition_covariance
+from .sir_space import SIRParameterSpace
+from .sir_objective import build_sir_objective
 
 __all__ = [
     "ParameterSpace", "CLAMP", "REFLECT",
@@ -14,4 +16,5 @@ __all__ = [
     "HillClimbConfig", "HillClimbResult", "run_hill_climb",
     "NUTSConfig", "NUTSResult", "run_nuts",
     "CalibrationResult", "calibrate", "condition_covariance",
+    "SIRParameterSpace", "build_sir_objective",
 ]

@@ -12,6 +12,7 @@ from .config_io import (
     read_particle_swarm_settings,
     read_nuts_settings,
     save_calibration_results,
+    read_scalar_sir_parameters,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "read_settings", "read_metropolis_hastings_settings",
     "read_hill_climbing_settings", "read_particle_swarm_settings",
     "read_nuts_settings", "save_calibration_results",
+    "read_scalar_sir_parameters",
 ]

@@ -1,3 +1,3 @@
-from . import sepaihrd
+from . import sepaihrd, sir, results, interventions
 
-__all__ = ["sepaihrd"]
+__all__ = ["sepaihrd", "sir", "results", "interventions"]

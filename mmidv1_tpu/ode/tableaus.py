@@ -106,6 +106,26 @@ FEHLBERG78 = _tab(
     error_order=8,
 )
 
+# Runge-Kutta-Fehlberg 4(5) — the GSL ``gsl_odeiv2_step_rkf45`` the reference's
+# scalar SIR models use (``src/base/SIRModel.cpp:38``,
+# ``SIR_population_variable.cpp``). Propagates the 5th-order solution.
+RKF45 = _tab(
+    "rkf45",
+    c=[0, 1 / 4, 3 / 8, 12 / 13, 1, 1 / 2],
+    a_rows=[
+        [],
+        [1 / 4],
+        [3 / 32, 9 / 32],
+        [1932 / 2197, -7200 / 2197, 7296 / 2197],
+        [439 / 216, -8, 3680 / 513, -845 / 4104],
+        [-8 / 27, 2, -3544 / 2565, 1859 / 4104, -11 / 40],
+    ],
+    b=[16 / 135, 0, 6656 / 12825, 28561 / 56430, -9 / 50, 2 / 55],
+    b_low=[25 / 216, 0, 1408 / 2565, 2197 / 4104, -1 / 5, 0],
+    order=5,
+    error_order=5,
+)
+
 # Classic RK4 (no embedded error): cheapest fixed-grid stepper.
 RK4 = _tab(
     "rk4",
@@ -117,7 +137,7 @@ RK4 = _tab(
     error_order=4,
 )
 
-TABLEAUS = {t.name: t for t in (DOPRI5, CASH_KARP, FEHLBERG78, RK4)}
+TABLEAUS = {t.name: t for t in (DOPRI5, CASH_KARP, FEHLBERG78, RKF45, RK4)}
 
 
 def get_tableau(name) -> Tableau:

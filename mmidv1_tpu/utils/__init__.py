@@ -11,10 +11,11 @@ from .exceptions import (
     CSVReadException,
 )
 from .logging import get_logger, Logger
+from . import fileutils
 
 __all__ = [
     "ModelException", "InvalidParameterException", "SimulationException",
     "ModelConstructionException", "InterventionException", "FileIOException",
     "DataFormatException", "InvalidResultException", "OutOfRangeException",
-    "CSVReadException", "get_logger", "Logger",
+    "CSVReadException", "get_logger", "Logger", "fileutils",
 ]

@@ -82,5 +82,22 @@ class Logger:
         self._log(logging.CRITICAL, component, message)
 
 
-def get_logger() -> Logger:
-    return Logger.get_instance()
+class BoundLogger:
+    """Component-bound view of the singleton: ``log.info(msg)`` style."""
+
+    def __init__(self, component: str):
+        self._component = component
+        self._logger = Logger.get_instance()
+
+    def __getattr__(self, level):
+        if level in ("debug", "info", "warning", "error", "fatal"):
+            fn = getattr(self._logger, level)
+            return lambda message: fn(self._component, message)
+        raise AttributeError(level)
+
+
+def get_logger(component: Optional[str] = None):
+    """The singleton, or a component-bound view when ``component`` is given."""
+    if component is None:
+        return Logger.get_instance()
+    return BoundLogger(component)

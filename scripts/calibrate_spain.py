@@ -145,11 +145,31 @@ def main(argv=None):
     if result.phase1_logl is not None:
         print(f"  phase 1 best: {float(result.phase1_logl):.6e}")
 
+    # float64 re-evaluation of the winning theta on the SAME grid (the run
+    # may be float32; the quality claim is made in double precision).
+    if not args.x64:
+        jax.config.update("jax_enable_x64", True)
+        ll64 = build_objective(space, jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), params),
+            data, ts, substeps=args.substeps, constraint_mode=REFLECT,
+            dtype=jnp.float64)
+        best_ll64 = float(ll64(jnp.asarray(np.asarray(result.best_theta),
+                                           jnp.float64)))
+    else:
+        best_ll64 = best_ll
+    print(f"float64 re-evaluation of best theta: {best_ll64:.8e}")
+
     os.makedirs(args.out, exist_ok=True)
     best_params = space.apply(params, jnp.asarray(result.best_theta))
     save_calibration_results(
         os.path.join(args.out, "calibrated_parameters.txt"),
         best_params, list(space.names), best_ll)
+    # NOTE (grid semantics, mirrors the reference): the objective's time grid
+    # is FIXED from the initial guess's runup_days (main.cpp:241; int cast).
+    # When runup_days is itself calibrated, re-loading calibrated_parameters
+    # .txt and rebuilding the grid from ITS runup_days yields a different
+    # likelihood — evaluate reloaded thetas on the original grid
+    # (grid_runup_days below) to reproduce best_logl.
 
     if result.samples is not None:
         np.savez_compressed(
@@ -160,6 +180,8 @@ def main(argv=None):
 
     meta = {
         "best_logl": best_ll,
+        "best_logl_float64": best_ll64,
+        "grid_runup_days": int(np.asarray(params.runup_days)),
         "initial_logl": ll0,
         "reference_best_logl": REFERENCE_BEST_LL,
         "beats_reference": best_ll > REFERENCE_BEST_LL,
