@@ -1,0 +1,95 @@
+"""Sampler checkpoint/resume + MCMC trace CSVs.
+
+The reference writes trace checkpoints every ``report_interval``
+(``MetropolisHastingsSampler.cpp:353-411``: ``posterior_trace_checkpoint.csv``
+with the last 5000 samples, ``posterior_trace_final.csv`` / ``posterior_trace
+.csv`` at the end) but has NO resume path — resume is manual re-feeding of the
+dumped parameters (SURVEY.md section 5, checkpoint/resume). Here sampler state
+is a pytree, so checkpointing is a structured save and resume is exact:
+``run_mh(..., initial_state=load_mh_state(path))`` continues the run
+bit-for-bit (tested in ``tests/test_checkpoint.py``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..calibration.mh import MHState
+
+
+def save_mh_state(path: str, state: MHState) -> None:
+    """Save an MHState (atomically: write + rename) as an .npz archive."""
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **{k: np.asarray(v)
+                                for k, v in state._asdict().items()})
+    os.replace(tmp, path)
+
+
+def load_mh_state(path: str) -> MHState:
+    """Load an MHState written by :func:`save_mh_state` (host arrays; JAX
+    re-devices them on first use)."""
+    with np.load(path) as z:
+        import jax.numpy as jnp
+        return MHState(**{k: jnp.asarray(z[k]) for k in MHState._fields})
+
+
+def write_posterior_trace(path: str, samples: np.ndarray,
+                          logps: Optional[np.ndarray] = None,
+                          names: Optional[Sequence[str]] = None,
+                          max_rows: Optional[int] = None) -> None:
+    """Reference-format posterior trace CSV
+    (``MetropolisHastingsSampler.cpp:440-469``): one row per stored sample,
+    ``sample,logp,<param values...>``; ``max_rows`` keeps the last N rows
+    (the checkpoint files keep 5000, :380-382)."""
+    samples = np.asarray(samples)
+    if samples.ndim == 3:                      # (n_stored, B, d) ensemble
+        if logps is not None:
+            logps = np.asarray(logps).reshape(-1)
+        samples = samples.reshape(-1, samples.shape[-1])
+    if max_rows is not None and len(samples) > max_rows:
+        samples = samples[-max_rows:]
+        if logps is not None:
+            logps = logps[-max_rows:]
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    header = "sample"
+    if logps is not None:
+        header += ",logp"
+    if names is not None:
+        header += "," + ",".join(names)
+    else:
+        header += "," + ",".join(f"p{j}" for j in range(samples.shape[1]))
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for i, row in enumerate(samples):
+            line = str(i)
+            if logps is not None:
+                line += f",{logps[i]:.8e}"
+            f.write(line + "".join(f",{v:.8e}" for v in row) + "\n")
+
+
+def make_checkpoint_progress_fn(out_dir: str, names: Sequence[str],
+                                every: int = 1):
+    """A ``progress_fn`` for :func:`run_mh` that ALSO mirrors the reference's
+    console progress line; pair with periodic :func:`save_mh_state` calls from
+    the driver loop for on-disk checkpointing."""
+    from .logging import get_logger
+
+    log = get_logger("mh")
+    count = [0]
+
+    def progress(step, accept_rate, best_logp, mean_scale):
+        count[0] += 1
+        if count[0] % max(1, every) == 0:
+            log.info(f"step {int(step)}: acceptance {float(accept_rate):.3f}, "
+                     f"best logL {float(best_logp):.6e}, "
+                     f"scale {float(mean_scale):.4f}")
+
+    return progress

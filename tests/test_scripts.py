@@ -1,0 +1,59 @@
+"""L7 script layer: raw-data processor regression + report generation."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+
+
+def test_covid_data_processor_reproduces_committed_output():
+    """data/raw/ES.csv -> processed_data.csv regenerates the committed file
+    exactly (the reference's CovidDataProcessor.py capability)."""
+    sys.path.insert(0, SCRIPTS)
+    import covid_data_processor
+
+    rc = covid_data_processor.main(["--check"])
+    assert rc == 0
+
+
+def test_post_calibration_analysis_report(tmp_path, spain_params):
+    """The plotting script renders figures + analysis_report.html from a
+    generate_full_report output tree."""
+    import numpy as np
+
+    from mmidv1_tpu.analysis import generate_full_report
+    from mmidv1_tpu.calibration.param_space import ParameterSpace
+    from mmidv1_tpu.data import CalibrationData
+
+    prm, params = spain_params
+    n_days = 40
+    rng = np.random.default_rng(11)
+    obs = rng.poisson(5.0, size=(n_days, 4)).astype(float)
+    data = CalibrationData.from_arrays(
+        new_confirmed=obs, new_hospitalizations=obs, new_icu=obs * 0.2,
+        new_deaths=obs * 0.1, population_by_age=prm["N"])
+    ts = np.arange(-20.0, float(n_days))
+    names = ["beta_1", "theta", "kappa_2"]
+    space = ParameterSpace.create(
+        names, {"beta_1": (0.1, 2.0), "theta": (0.01, 1.0),
+                "kappa_2": (0.1, 1.5)},
+        {n: 0.05 for n in names}, params)
+    theta0 = np.asarray(space.extract(params))
+    samples = theta0[None, :] + 0.02 * rng.normal(size=(12, 3))
+    generate_full_report(samples, space, params, data, ts, str(tmp_path),
+                         num_samples_for_ppc=6, batch_size=8, substeps=2)
+
+    sys.path.insert(0, SCRIPTS)
+    import post_calibration_analysis
+
+    rc = post_calibration_analysis.main(["--input", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "analysis_report.html").exists()
+    figs = list((tmp_path / "figures").glob("*.png"))
+    assert len(figs) >= 8
+    html = (tmp_path / "analysis_report.html").read_text()
+    assert "Aggregated metrics" in html and "Scenario comparison" in html
