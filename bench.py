@@ -100,10 +100,64 @@ def main():
     solve_batch(scales).block_until_ready()
     log(f"solve compile+first run: {time.perf_counter() - t0:.1f}s (B={B})")
     dt = timed(lambda s: solve_batch(s).block_until_ready(), scales)
-    solves_per_sec = B / dt
-    details["sepaihrd_365d_solves_per_sec_per_chip"] = solves_per_sec
+    details["xla_365d_solves_per_sec_per_chip"] = B / dt
     details["solve_batch"] = B
-    details["solve_wall_s"] = dt
+    log(f"365-day solves/sec/chip (XLA, per-dispatch): {B/dt:.3e}")
+
+    # Pallas fused kernel, steady-state (in-scan: amortizes the ~30 ms
+    # per-dispatch tunnel latency of this environment the way production
+    # sampler loops do). This is the primary reported metric.
+    solves_per_sec = B / dt
+    try:
+        from mmidv1_tpu.ops.sepaihrd_pallas import fused_objective
+
+        y0 = sepaihrd.runup_seeded_state(params, None)
+        y0_pad = jnp.zeros((11, 8), dtype).at[:, 0:4].set(y0).reshape(88)
+        y0_all = jnp.tile(y0_pad[:, None], (1, B))
+        invN = jnp.asarray(np.where(np.asarray(params.N) > 1e-9,
+                                    1.0 / np.asarray(params.N), 0.0), dtype)
+        rows = jnp.concatenate([
+            params.a, params.h_infec * invN, params.p, params.h, params.icu,
+            params.d_H, params.d_ICU, params.d_community,
+            jnp.stack([params.theta, params.sigma, params.gamma_p,
+                       params.gamma_A, params.gamma_I, params.gamma_H,
+                       params.gamma_ICU])])
+        rows_all = jnp.tile(rows[:, None], (1, B))
+        base_beta = sepaihrd.interval_beta_eff(params, ts)
+        obs1 = jnp.zeros((1, 4), dtype)
+        Mj = jnp.asarray(params.M_baseline, dtype)
+
+        def pallas_solve(scale):
+            beta_tb = base_beta[:, None] * scale[None, :]
+            return fused_objective(y0_all, rows_all, beta_tb, Mj,
+                                   (obs1, obs1, obs1), (obs1, obs1, obs1),
+                                   runup_offset=DAYS, substeps=SUBSTEPS,
+                                   block_b=2048)
+
+        STEPS = 10
+
+        @jax.jit
+        def scan_solves(key):
+            def body(acc, k):
+                s = 1.0 + 0.01 * jax.random.normal(k, (B,), dtype=dtype)
+                return acc + pallas_solve(s).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), dtype),
+                                  jax.random.split(key, STEPS))
+            return acc
+
+        t0 = time.perf_counter()
+        scan_solves(jax.random.PRNGKey(5)).block_until_ready()
+        log(f"pallas solve compile+first run: {time.perf_counter()-t0:.1f}s")
+        dtp = timed(lambda k: scan_solves(k).block_until_ready(),
+                    jax.random.PRNGKey(6)) / STEPS
+        solves_per_sec = B / dtp
+        details["pallas_365d_solves_per_sec_per_chip_insscan"] = solves_per_sec
+        log(f"365-day solves/sec/chip (Pallas, in-scan): {solves_per_sec:.3e}")
+    except Exception as e:
+        log(f"pallas solve skipped: {type(e).__name__}: {e}")
+
+    details["sepaihrd_365d_solves_per_sec_per_chip"] = solves_per_sec
+    details["solve_wall_s"] = B / solves_per_sec
     log(f"365-day solves/sec/chip: {solves_per_sec:.3e}  "
         f"(target {TARGET_SOLVES_PER_SEC:.0e}, x{solves_per_sec/TARGET_SOLVES_PER_SEC:.2f})")
 
@@ -130,8 +184,27 @@ def main():
     evals_per_sec = B / dt
     details["objective_evals_per_sec_per_chip"] = evals_per_sec
     details["objective_us_per_eval"] = 1e6 / evals_per_sec
-    log(f"objective evals/sec/chip: {evals_per_sec:.3e} "
+    log(f"objective evals/sec/chip (XLA): {evals_per_sec:.3e} "
         f"({1e6/evals_per_sec:.3f} us/eval amortized)")
+
+    # Pallas fused kernel objective (ops/sepaihrd_pallas.py; OPS_ANALYSIS.md)
+    try:
+        from mmidv1_tpu.ops import build_objective_pallas
+
+        ll_pallas = build_objective_pallas(
+            space, params, data, ts_cal, substeps=SUBSTEPS,
+            constraint_mode=REFLECT, dtype=dtype, block_b=2048)
+        t0 = time.perf_counter()
+        ll_pallas(thetas).block_until_ready()
+        log(f"pallas objective compile+first run: {time.perf_counter()-t0:.1f}s")
+        dtp = timed(lambda t: ll_pallas(t).block_until_ready(), thetas)
+        details["pallas_objective_evals_per_sec_per_chip"] = B / dtp
+        details["pallas_vs_xla_objective"] = dt / dtp
+        log(f"objective evals/sec/chip (Pallas): {B/dtp:.3e} "
+            f"({dt/dtp:.2f}x XLA)")
+    except Exception as e:  # CPU fallback etc.
+        ll_pallas = None
+        log(f"pallas objective skipped: {type(e).__name__}: {e}")
 
     # ------------------------------------------------------------------
     # 3) MCMC chain-steps/sec at 8192 chains (headline sampler workload)
@@ -145,7 +218,8 @@ def main():
     def mh_run(key, steps):
         cfg = MHConfig(iterations=steps, burn_in=4, adaptation_period=50,
                        thinning=10)
-        return run_mh(loglik, space, theta0, key, cfg, n_chains=N_CHAINS)
+        return run_mh(loglik, space, theta0, key, cfg, n_chains=N_CHAINS,
+                      loglik_batch=ll_pallas)
 
     t0 = time.perf_counter()
     mh_run(jax.random.PRNGKey(2), STEPS_SHORT).best_logp.block_until_ready()

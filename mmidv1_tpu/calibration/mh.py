@@ -280,6 +280,7 @@ def run_mh(
     axis_name: Optional[str] = None,
     n_total: Optional[int] = None,
     offset=0,
+    loglik_batch: Optional[Callable] = None,
     _jit: bool = True,
 ) -> MHResult:
     """Run the full ensemble sampler. jit-compiled as one program.
@@ -303,7 +304,10 @@ def run_mh(
     """
     if cfg.iterations <= 0:
         raise ValueError(f"iterations must be positive, got {cfg.iterations}")
-    loglik_batch = jax.vmap(loglik)
+    # loglik_batch overrides the default vmap (e.g. the fused Pallas objective,
+    # mmidv1_tpu.ops.build_objective_pallas, which is batch-native).
+    if loglik_batch is None:
+        loglik_batch = jax.vmap(loglik)
     if n_total is None:
         n_total = n_chains
     k_init, k_run = jax.random.split(jax.random.PRNGKey(0) if key is None else key)

@@ -165,7 +165,10 @@ class ParameterSpace:
     def apply(self, base: SEPAIHRDParams, theta: jnp.ndarray) -> SEPAIHRDParams:
         """Scatter a theta vector into a fresh params pytree (pure; vmap-safe).
 
-        ``theta`` is a single (d,) vector; batch with ``jax.vmap``.
+        ``theta`` is a single (d,) vector; batch with ``jax.vmap``. Vector
+        fields use a static one-hot contraction instead of ``.at[].set`` —
+        vmapped scatters serialize on TPU (measured ~30 ms across an
+        8192-chain batch vs ~0 for the selection matmul).
         """
         updates = {}
         for field, (fidx, tidx) in self._scatter.items():
@@ -173,7 +176,15 @@ class ParameterSpace:
             if fidx[0] == -1:  # scalar field: exactly one theta entry
                 updates[field] = theta[tidx[0]].astype(cur.dtype)
             else:
-                updates[field] = cur.at[fidx].set(theta[tidx].astype(cur.dtype))
+                n = cur.shape[-1]
+                sel = np.zeros((n, self.dim))
+                sel[fidx, tidx] = 1.0
+                mask = np.zeros((n,), dtype=bool)
+                mask[fidx] = True
+                updates[field] = jnp.where(
+                    jnp.asarray(mask),
+                    jnp.asarray(sel, dtype=cur.dtype) @ theta.astype(cur.dtype),
+                    cur)
         return base.replace(**updates)
 
     def extract(self, params: SEPAIHRDParams) -> jnp.ndarray:

@@ -92,7 +92,16 @@ class SIRParameterSpace(ParameterSpace):
             if fidx[0] == -1:
                 updates[field] = theta[tidx[0]].astype(cur.dtype)
             else:
-                updates[field] = cur.at[fidx].set(theta[tidx].astype(cur.dtype))
+                # one-hot contraction, not .at[].set — see ParameterSpace.apply
+                n = cur.shape[-1]
+                sel = np.zeros((n, self.dim))
+                sel[fidx, tidx] = 1.0
+                mask = np.zeros((n,), dtype=bool)
+                mask[fidx] = True
+                updates[field] = jnp.where(
+                    jnp.asarray(mask),
+                    jnp.asarray(sel, dtype=cur.dtype) @ theta.astype(cur.dtype),
+                    cur)
         return base.replace(**updates)
 
     def extract(self, params: AgeSIRParams) -> jnp.ndarray:

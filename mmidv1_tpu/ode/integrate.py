@@ -157,8 +157,38 @@ def integrate_times(f, y0, ts, *, dt0=1.0, atol=1e-6, rtol=1e-6, method="dopri5"
     return jnp.concatenate([y0[None], traj], axis=0)
 
 
+def _rk_step_fsal(f, t, y, dt, tab: Tableau, k_first):
+    """One step of an FSAL tableau reusing the previous step's last stage.
+
+    Returns ``(y_new, k_last)`` where ``k_last = f(t+dt, y_new)`` seeds the
+    next step — 6 fresh RHS evaluations per Dopri5 step instead of 7."""
+    ks = [k_first]
+    for i in range(1, tab.stages):
+        yi = y
+        for j in range(i):
+            aij = tab.a[i, j]
+            if aij != 0.0:
+                yi = yi + (dt * aij) * ks[j]
+        ks.append(f(t + tab.c[i] * dt, yi))
+    y_new = y
+    for i in range(tab.stages):
+        bi = tab.b[i]
+        if bi != 0.0:
+            y_new = y_new + (dt * bi) * ks[i]
+    return y_new, ks[-1]
+
+
 def _advance_interval_fixed(f, t0, t1, y, substeps: int, tab: Tableau):
     h = (t1 - t0) / substeps
+
+    if tab.fsal and substeps <= 8:
+        # Chain the FSAL stage across the substeps of this interval (the RHS
+        # changes at interval boundaries via interval_ctx, so the chain stops
+        # there). Unrolled: fixed substep counts are small.
+        k = f(t0, y)
+        for i in range(substeps):
+            y, k = _rk_step_fsal(f, t0 + i * h, y, h, tab, k)
+        return y
 
     def body(i, y):
         t = t0 + i * h

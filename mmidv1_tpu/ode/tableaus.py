@@ -27,6 +27,12 @@ class Tableau(NamedTuple):
     def stages(self) -> int:
         return len(self.c)
 
+    @property
+    def fsal(self) -> bool:
+        """First-Same-As-Last: the final stage evaluates f at (t+dt, y_new),
+        so it can seed stage 0 of the next step (true for Dopri5)."""
+        return bool(self.c[-1] == 1.0 and np.allclose(self.a[-1], self.b))
+
 
 def _tab(name, c, a_rows, b, b_low, order, error_order):
     s = len(c)
