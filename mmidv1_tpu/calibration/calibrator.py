@@ -66,6 +66,7 @@ def calibrate(
     nuts_config: Optional[NUTSConfig] = None,
     n_chains: int = 8,
     algorithm: str = "psomcmc",                # pso|psomcmc|hill|hillmcmc|nuts
+    loglik_batch_reflect: Optional[Callable] = None,
 ) -> CalibrationResult:
     """Run a full calibration with the reference's algorithm menu
     (``main.cpp:48-79``: pso/psomcmc, hill/hillmcmc, nuts).
@@ -123,7 +124,8 @@ def calibrate(
             init_cov = condition_covariance(phase1_cov,
                                             space.sigmas.astype(current.dtype))
         mh_result = run_mh(loglik_reflect, space, current, k2, mh_config,
-                           n_chains=n_chains, initial_cov=init_cov)
+                           n_chains=n_chains, initial_cov=init_cov,
+                           loglik_batch=loglik_batch_reflect)
         samples, sample_logls = mh_result.samples, mh_result.sample_logps
         if float(mh_result.best_logp) > float(best_logl):
             best_theta, best_logl = mh_result.best_x, mh_result.best_logp

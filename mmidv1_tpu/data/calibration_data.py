@@ -107,13 +107,29 @@ class CalibrationData:
             raise DataFormatException("CalibrationData.from_csv",
                                       "No data points found in specified date range.")
 
-        def mat(key: str) -> np.ndarray:
-            cols = groups[key]
-            try:
-                return np.array([[float(r[c]) for c in cols] for r in selected])
-            except (ValueError, IndexError) as e:
-                raise DataFormatException("CalibrationData.from_csv",
-                                          f"Failed to parse column group {key}: {e}")
+        # Bulk numeric parse through the native C++ IO layer when available
+        # (mmidv1_tpu/utils/native.py); pure-Python fallback otherwise.
+        from ..utils import native
+
+        all_cols = sorted({c for cols in groups.values() for c in cols})
+        table = native.read_csv_table(path, all_cols, skip_header=1)
+        if table is not None and table.shape[0] == len(rows):
+            mask = np.array([in_range(r[date_idx]) for r in rows])
+            table = table[mask]
+            colpos = {c: k for k, c in enumerate(all_cols)}
+
+            def mat(key: str) -> np.ndarray:
+                return table[:, [colpos[c] for c in groups[key]]]
+        else:
+            def mat(key: str) -> np.ndarray:
+                cols = groups[key]
+                try:
+                    return np.array([[float(r[c]) for c in cols]
+                                     for r in selected])
+                except (ValueError, IndexError) as e:
+                    raise DataFormatException(
+                        "CalibrationData.from_csv",
+                        f"Failed to parse column group {key}: {e}")
 
         population = np.array([float(selected[0][c]) for c in groups["population"]])
         return cls(

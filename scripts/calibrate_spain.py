@@ -49,6 +49,9 @@ def main(argv=None):
     p.add_argument("--thinning", type=int, default=5)
     p.add_argument("--burn-in", type=int, default=100)
     p.add_argument("--substeps", type=int, default=4)
+    p.add_argument("--engine", default="xla", choices=["xla", "pallas"],
+                   help="objective engine for the MCMC phase (pallas = the "
+                        "fused VMEM-resident kernel, ~2x on TPU)")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--x64", action="store_true",
                    help="float64 (CPU parity runs); default float32")
@@ -108,6 +111,13 @@ def main(argv=None):
     loglik_reflect = build_objective(space, params, data, ts,
                                      substeps=args.substeps,
                                      constraint_mode=REFLECT, dtype=dtype)
+    loglik_batch_reflect = None
+    if args.engine == "pallas":
+        from mmidv1_tpu.ops import build_objective_pallas
+        loglik_batch_reflect = build_objective_pallas(
+            space, params, data, ts, substeps=args.substeps,
+            constraint_mode=REFLECT, dtype=dtype,
+            block_b=min(2048, args.chains))
     theta0 = space.extract(params).astype(dtype)
     ll0 = float(loglik_clamp(theta0))
     print(f"initial objective at committed params: {ll0:.6e} "
@@ -136,7 +146,8 @@ def main(argv=None):
     result = calibrate(loglik_clamp, loglik_reflect, space, theta0, key,
                        algorithm=args.algorithm, phase1_config=phase1_config,
                        mh_config=mh_cfg, nuts_config=nuts_cfg,
-                       n_chains=args.chains)
+                       n_chains=args.chains,
+                       loglik_batch_reflect=loglik_batch_reflect)
     best_ll = float(result.best_logl)
     wall = time.perf_counter() - t0
     print(f"calibration done in {wall:.1f}s: best logL {best_ll:.6e} "
@@ -188,6 +199,7 @@ def main(argv=None):
         "phase1_logl": (float(result.phase1_logl)
                         if result.phase1_logl is not None else None),
         "algorithm": args.algorithm,
+        "engine": args.engine,
         "chains": args.chains,
         "pso": dataclasses.asdict(pso_cfg) if args.algorithm.startswith("pso")
                else None,

@@ -1,0 +1,81 @@
+"""Native C++ IO layer: build, parity with Python fallbacks, error taxonomy."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmidv1_tpu.utils import native
+from mmidv1_tpu.utils.exceptions import CSVReadException
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+needs_native = pytest.mark.skipif(native.get_lib() is None,
+                                  reason="native toolchain unavailable")
+
+
+@needs_native
+def test_native_matrix_read_matches_python():
+    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+
+    path = os.path.join(REPO, "data", "contacts.csv")
+    a = native.read_csv_matrix(path, 4, 4)
+    b = read_matrix_from_csv(path, 4, 4)
+    np.testing.assert_array_equal(a, b)
+
+
+@needs_native
+def test_native_matrix_errors(tmp_path):
+    f = tmp_path / "m.csv"
+    f.write_text("// comment\n1,2\n3,4\n")
+    np.testing.assert_array_equal(native.read_csv_matrix(str(f), 2, 2),
+                                  [[1, 2], [3, 4]])
+    with pytest.raises(CSVReadException):
+        native.read_csv_matrix(str(tmp_path / "missing.csv"), 2, 2)
+    with pytest.raises(CSVReadException):
+        native.read_csv_matrix(str(f), 3, 2)     # not enough rows
+    with pytest.raises(CSVReadException):
+        native.read_csv_matrix(str(f), 2, 3)     # not enough columns
+    g = tmp_path / "bad.csv"
+    g.write_text("1,x\n3,4\n")
+    with pytest.raises(CSVReadException):
+        native.read_csv_matrix(str(g), 2, 2)
+
+
+@needs_native
+def test_native_table_read(tmp_path):
+    f = tmp_path / "t.csv"
+    f.write_text("date,a,b,c\n2020-01-01,1,2,3\n2020-01-02,4,,x\n")
+    out = native.read_csv_table(str(f), [1, 3], skip_header=1)
+    assert out.shape == (2, 2)
+    np.testing.assert_array_equal(out[0], [1.0, 3.0])
+    assert out[1, 0] == 4.0 and np.isnan(out[1, 1])
+
+
+def test_calibration_data_native_matches_fallback(monkeypatch):
+    """from_csv produces identical matrices with and without the native path."""
+    from mmidv1_tpu.data import CalibrationData
+
+    path = os.path.join(REPO, "data", "processed", "processed_data.csv")
+    with_native = CalibrationData.from_csv(path, "2020-03-01", "2020-06-30")
+    monkeypatch.setattr(native, "read_csv_table", lambda *a, **k: None)
+    without = CalibrationData.from_csv(path, "2020-03-01", "2020-06-30")
+    for field in ("new_confirmed", "new_deaths", "new_hospitalizations",
+                  "new_icu", "cumulative_confirmed", "cumulative_deaths",
+                  "population_by_age"):
+        np.testing.assert_array_equal(getattr(with_native, field),
+                                      getattr(without, field), err_msg=field)
+
+
+def test_trace_writer_native_matches_fallback(tmp_path, monkeypatch):
+    from mmidv1_tpu.utils.checkpoint import write_posterior_trace
+
+    rng = np.random.default_rng(0)
+    samples = rng.normal(size=(50, 3))
+    logps = rng.normal(size=(50,))
+    p1 = tmp_path / "native.csv"
+    p2 = tmp_path / "python.csv"
+    write_posterior_trace(str(p1), samples, logps, ["a", "b", "c"])
+    monkeypatch.setattr(native, "write_trace_csv", lambda *a, **k: False)
+    write_posterior_trace(str(p2), samples, logps, ["a", "b", "c"])
+    assert p1.read_text() == p2.read_text()
