@@ -56,6 +56,9 @@ def main(argv=None):
     p.add_argument("--x64", action="store_true",
                    help="float64 (CPU parity runs); default float32")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init", default=None,
+                   help="warm-start theta from a calibrated_parameters.txt "
+                        "(grid semantics stay pinned to initial_guess.txt)")
     p.add_argument("--out", default=os.path.join(REPO, "results", "spain2020"))
     p.add_argument("--full", action="store_true",
                    help="use the production settings files")
@@ -118,7 +121,13 @@ def main(argv=None):
             space, params, data, ts, substeps=args.substeps,
             constraint_mode=REFLECT, dtype=dtype,
             block_b=min(2048, args.chains))
-    theta0 = space.extract(params).astype(dtype)
+    if args.init:
+        init_params = read_sepaihrd_parameters(
+            args.init, 4, N=data.population_by_age, M_baseline=M, dtype=dtype)
+        theta0 = space.extract(init_params).astype(dtype)
+        print(f"warm start from {args.init}")
+    else:
+        theta0 = space.extract(params).astype(dtype)
     ll0 = float(loglik_clamp(theta0))
     print(f"initial objective at committed params: {ll0:.6e} "
           f"(reference recorded best: {REFERENCE_BEST_LL:.8e})")
