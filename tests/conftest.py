@@ -1,10 +1,11 @@
 """Test configuration: CPU backend with 8 virtual devices + float64.
 
-The multi-chip sharding tests run on a virtual 8-device CPU mesh
-(``xla_force_host_platform_device_count``), mirroring how the driver dry-runs the
-multi-chip path. Numerical parity tests need float64 (the C++ reference is all
-double precision); production TPU runs use float32/bfloat16 via the same
-dtype-agnostic code paths.
+The multi-chip sharding tests (tests/test_parallel.py) run on a virtual
+8-device CPU mesh (``xla_force_host_platform_device_count``), mirroring how
+the driver dry-runs the multi-chip path (__graft_entry__.dryrun_multichip).
+Numerical parity tests need float64 (the C++ reference is all double
+precision); production TPU runs use float32 via the same dtype-agnostic code
+paths.
 """
 
 import os
