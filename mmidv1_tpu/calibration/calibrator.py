@@ -67,6 +67,7 @@ def calibrate(
     n_chains: int = 8,
     algorithm: str = "psomcmc",                # pso|psomcmc|hill|hillmcmc|nuts
     loglik_batch_reflect: Optional[Callable] = None,
+    loglik_batch_clamp: Optional[Callable] = None,
 ) -> CalibrationResult:
     """Run a full calibration with the reference's algorithm menu
     (``main.cpp:48-79``: pso/psomcmc, hill/hillmcmc, nuts).
@@ -104,7 +105,8 @@ def calibrate(
 
     if phase1 == "pso":
         cfg = phase1_config or PSOConfig()
-        pres = run_pso(loglik_clamp, space, k1, cfg, theta0=current)
+        pres = run_pso(loglik_clamp, space, k1, cfg, theta0=current,
+                       loglik_batch=loglik_batch_clamp)
         phase1_best, phase1_logl, phase1_cov = pres.best_x, pres.best_f, pres.final_cov
         current = pres.best_x
     elif phase1 == "hill":

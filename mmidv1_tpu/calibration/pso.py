@@ -448,15 +448,18 @@ def run_pso(
     theta0: Optional[jnp.ndarray] = None,
     dtype=None,
     initial_state: Optional[PSOState] = None,
+    loglik_batch: Optional[Callable] = None,
 ) -> PSOResult:
     """Run PSO; the objective is maximized (log-likelihood convention).
 
     ``initial_state`` skips swarm initialization — used to resume a run or to
     feed a mesh-sharded state (:func:`mmidv1_tpu.parallel.run_pso_sharded`).
+    ``loglik_batch`` overrides the default vmap with a batch-native objective
+    (e.g. the fused Pallas kernel).
     """
     if dtype is None:
         dtype = space.lower.dtype
-    fitness_batch = jax.vmap(loglik)
+    fitness_batch = loglik_batch if loglik_batch is not None else jax.vmap(loglik)
     neighbor_tab = _neighbor_table(cfg)
     k_init, k_run = jax.random.split(key)
     if initial_state is not None:

@@ -114,13 +114,17 @@ def main(argv=None):
     loglik_reflect = build_objective(space, params, data, ts,
                                      substeps=args.substeps,
                                      constraint_mode=REFLECT, dtype=dtype)
-    loglik_batch_reflect = None
+    loglik_batch_reflect = loglik_batch_clamp = None
     if args.engine == "pallas":
         from mmidv1_tpu.ops import build_objective_pallas
         loglik_batch_reflect = build_objective_pallas(
             space, params, data, ts, substeps=args.substeps,
             constraint_mode=REFLECT, dtype=dtype,
             block_b=min(2048, args.chains))
+        loglik_batch_clamp = build_objective_pallas(
+            space, params, data, ts, substeps=args.substeps,
+            constraint_mode=CLAMP, dtype=dtype,
+            block_b=min(2048, args.pso_particles))
     if args.init:
         init_params = read_sepaihrd_parameters(
             args.init, 4, N=data.population_by_age, M_baseline=M, dtype=dtype)
@@ -156,7 +160,8 @@ def main(argv=None):
                        algorithm=args.algorithm, phase1_config=phase1_config,
                        mh_config=mh_cfg, nuts_config=nuts_cfg,
                        n_chains=args.chains,
-                       loglik_batch_reflect=loglik_batch_reflect)
+                       loglik_batch_reflect=loglik_batch_reflect,
+                       loglik_batch_clamp=loglik_batch_clamp)
     best_ll = float(result.best_logl)
     wall = time.perf_counter() - t0
     print(f"calibration done in {wall:.1f}s: best logL {best_ll:.6e} "
