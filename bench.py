@@ -223,7 +223,8 @@ def main():
 
     t0 = time.perf_counter()
     mh_run(jax.random.PRNGKey(2), STEPS_SHORT).best_logp.block_until_ready()
-    log(f"mcmc compile+first run: {time.perf_counter() - t0:.1f}s")
+    mh_run(jax.random.PRNGKey(2), STEPS_LONG).best_logp.block_until_ready()
+    log(f"mcmc compile+first runs: {time.perf_counter() - t0:.1f}s")
     t_short = timed(lambda k: mh_run(k, STEPS_SHORT).best_logp.block_until_ready(),
                     jax.random.PRNGKey(3), reps=2)
     t_long = timed(lambda k: mh_run(k, STEPS_LONG).best_logp.block_until_ready(),
