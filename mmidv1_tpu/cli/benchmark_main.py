@@ -49,6 +49,9 @@ def main(argv=None) -> int:
     p.add_argument("--x64", action="store_true")
     p.add_argument("--project-root", default=None)
     p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the timed section "
+                        "into DIR (view with TensorBoard/Perfetto)")
     args = p.parse_args(argv)
 
     log = get_logger("benchmark")
@@ -89,6 +92,10 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         obj(thetas).block_until_ready()
         results["micro_compile_s"] = time.perf_counter() - t0
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                obj(thetas).block_until_ready()
+            log(f"profiler trace written to {args.profile}")
         dt = _timed(lambda: obj(thetas).block_until_ready(), args.repeats)
         results["micro_evals_per_sec"] = args.batch / dt
         results["micro_us_per_eval"] = dt / args.batch * 1e6

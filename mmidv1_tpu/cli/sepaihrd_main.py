@@ -15,8 +15,6 @@ from __future__ import annotations
 import argparse
 import sys
 import time
-from typing import Optional
-
 import numpy as np
 
 from ..utils.fileutils import ensure_directory_exists, join_paths

@@ -36,7 +36,6 @@ def main(argv=None) -> int:
 
     setup_jax(args.platform)
     import jax
-    import jax.numpy as jnp
 
     from ..calibration.calibrator import calibrate
     from ..calibration.hill import HillClimbConfig

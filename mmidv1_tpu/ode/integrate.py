@@ -34,7 +34,6 @@ pays for that contamination with step-size crashes at every NPI boundary).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

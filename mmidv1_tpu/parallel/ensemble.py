@@ -33,8 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..calibration.mh import MHConfig, MHResult, MHState, run_mh
 from ..calibration.pso import PSOConfig, PSOResult, init_pso_state, run_pso
 from ..calibration.param_space import ParameterSpace
-from .mesh import (CHAINS_AXIS, batch_sharding, check_divisible, ensemble_mesh,
-                   shard_ensemble_pytree)
+from .mesh import check_divisible, ensemble_mesh, shard_ensemble_pytree
 
 # PartitionSpec pytrees matching MHState / MHResult: batch-leading leaves split
 # over the chains axis, shared leaves replicated.

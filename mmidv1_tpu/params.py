@@ -12,9 +12,9 @@ TPU-native re-design of the reference's parameter plumbing:
   (reference: ``src/model/PiecewiseConstantParameterStrategy.cpp:37-74``) and
   ``PiecewiseConstantNpiStrategy::getReductionFactor``
   (reference: ``src/model/PieceWiseConstantNPIStrategy.cpp:86-127``) with a branch-free
-  ``searchsorted`` lookup that is jit/vmap-safe (the reference's cached-index fast path
-  exists only because of sequential stateful lookups; under XLA the lookup is a couple
-  of vector ops and needs no cache).
+  one-hot contraction that is jit/vmap-safe (the reference's cached-index fast path
+  exists only because of sequential stateful lookups; a gather-based lookup would
+  serialize under vmap on TPU, see OPS_ANALYSIS.md).
 
 Schedule semantics (identical to the reference):
   value(t) = values[0]                        for t <= end_times[0]  (and for t < 0)
@@ -24,13 +24,9 @@ Schedule semantics (identical to the reference):
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
-
-from . import constants
 
 
 def _as_f(x, dtype):

@@ -170,25 +170,44 @@ def main(argv=None):
     if result.phase1_logl is not None:
         print(f"  phase 1 best: {float(result.phase1_logl):.6e}")
 
-    # float64 re-evaluation of the winning theta on the SAME grid (the run
-    # may be float32; the quality claim is made in double precision).
+    # float64 re-selection: the f32 objective's noise floor at LL ~1.4e6 is
+    # O(1e2), so candidates within that band are indistinguishable in-run.
+    # Re-evaluate every chain's MAP (and phase 1's best) in double precision
+    # on the SAME grid and pick the true argmax.
     if not args.x64:
         jax.config.update("jax_enable_x64", True)
         ll64 = build_objective(space, jax.tree_util.tree_map(
             lambda x: jnp.asarray(np.asarray(x), jnp.float64), params),
             data, ts, substeps=args.substeps, constraint_mode=REFLECT,
             dtype=jnp.float64)
-        best_ll64 = float(ll64(jnp.asarray(np.asarray(result.best_theta),
-                                           jnp.float64)))
+        cands = [np.asarray(result.best_theta)[None, :]]
+        if result.mh_result is not None:
+            cands.append(np.asarray(result.mh_result.final_state.best_x))
+        if result.phase1_best is not None:
+            cands.append(np.asarray(result.phase1_best)[None, :])
+        cands = jnp.asarray(np.unique(np.concatenate(cands, axis=0), axis=0),
+                            jnp.float64)
+        lls64 = np.asarray(jax.jit(jax.vmap(ll64))(cands))
+        k = int(np.argmax(lls64))
+        best_ll64 = float(lls64[k])
+        result = result._replace(best_theta=cands[k])
+        print(f"float64 re-selection over {len(cands)} candidate MAPs: "
+              f"{best_ll64:.8e}")
     else:
         best_ll64 = best_ll
-    print(f"float64 re-evaluation of best theta: {best_ll64:.8e}")
+    print(f"float64 best log-likelihood: {best_ll64:.8e}")
 
     os.makedirs(args.out, exist_ok=True)
-    best_params = space.apply(params, jnp.asarray(result.best_theta))
+    # save from a float64 pytree so the %.8e artifact round-trips to the
+    # float64-verified likelihood
+    params64 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64), params)
+    best_params = space.apply(params64,
+                              jnp.asarray(np.asarray(result.best_theta),
+                                          jnp.float64))
     save_calibration_results(
         os.path.join(args.out, "calibrated_parameters.txt"),
-        best_params, list(space.names), best_ll)
+        best_params, list(space.names), best_ll64)
     # NOTE (grid semantics, mirrors the reference): the objective's time grid
     # is FIXED from the initial guess's runup_days (main.cpp:241; int cast).
     # When runup_days is itself calibrated, re-loading calibrated_parameters
@@ -209,7 +228,7 @@ def main(argv=None):
         "grid_runup_days": int(np.asarray(params.runup_days)),
         "initial_logl": ll0,
         "reference_best_logl": REFERENCE_BEST_LL,
-        "beats_reference": best_ll > REFERENCE_BEST_LL,
+        "beats_reference": best_ll64 > REFERENCE_BEST_LL,
         "phase1_logl": (float(result.phase1_logl)
                         if result.phase1_logl is not None else None),
         "algorithm": args.algorithm,
@@ -229,7 +248,7 @@ def main(argv=None):
     with open(os.path.join(args.out, "run_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)
     print(f"artifacts written to {args.out}")
-    return 0 if best_ll > REFERENCE_BEST_LL else 1
+    return 0 if best_ll64 > REFERENCE_BEST_LL else 1
 
 
 if __name__ == "__main__":

@@ -173,3 +173,34 @@ def test_cli_sepaihrd_main_smoke(tmp_path):
                 "mcmc_aggregated/metrics_summary.csv",
                 "posterior_predictive/daily_deaths_median.csv"):
         assert (tmp_path / rel).exists(), rel
+
+
+@pytest.mark.slow
+def test_cli_benchmark_micro(capsys):
+    """sepaihrd_objective_benchmark micro mode on a truncated window."""
+    from mmidv1_tpu.cli.benchmark_main import main
+
+    rc = main(["--mode", "micro", "--batch", "32", "--repeats", "1",
+               "--num-days", "20", "--platform", "cpu", "--json",
+               "--project-root", REPO])
+    assert rc == 0
+    import json as _json
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = _json.loads(out)
+    assert res["micro_evals_per_sec"] > 0
+    assert res["n_params"] == 62
+
+
+@pytest.mark.slow
+def test_cli_sir_age_structured_main(tmp_path, capsys):
+    from mmidv1_tpu.cli.sir_age_structured_main import main
+
+    rc = main(["--platform", "cpu", "--days", "40", "--project-root", REPO])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "peak_infected_baseline" in out
+    base = float(out.split("peak_infected_baseline")[1].split()[0])
+    interv = float(out.split("peak_infected_intervention")[1].split()[0])
+    assert base > interv > 0     # the lockdown demo flattens the peak
+    assert os.path.exists(os.path.join(
+        REPO, "data", "output", "sir_age_intervention_results.csv"))
