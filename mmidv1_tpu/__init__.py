@@ -10,6 +10,17 @@ this package implements.
 from . import constants
 from .params import SEPAIHRDParams, make_params, beta_at, kappa_at, piecewise_value
 
+# Subpackages (imported lazily by most users; listed here for discoverability):
+#   mmidv1_tpu.models       SEPAIHRD + SIR family, interventions, result CSVs
+#   mmidv1_tpu.ode          RK tableaus, fixed/adaptive integrators, fused folds
+#   mmidv1_tpu.calibration  parameter spaces, objectives, PSO/hill/MH/NUTS
+#   mmidv1_tpu.parallel     chains device mesh, sharded samplers, multihost
+#   mmidv1_tpu.ops          Pallas kernels (fused solve+likelihood)
+#   mmidv1_tpu.analysis     R0/Rt, metrics, PPC bands, report generation
+#   mmidv1_tpu.cli          the reference's seven executables
+#   mmidv1_tpu.data         reference-format config/data IO
+#   mmidv1_tpu.utils        exceptions, logging, fileutils, checkpoint, native IO
+
 __all__ = [
     "constants",
     "SEPAIHRDParams",

@@ -171,8 +171,14 @@ class AsyncWriter:
 
     def __init__(self):
         self._q: "queue.Queue" = queue.Queue()
+        self._errors: list = []
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    @property
+    def errors(self) -> list:
+        """Exceptions raised by failed write tasks (empty on success)."""
+        return list(self._errors)
 
     def _run(self):
         while True:
@@ -183,6 +189,15 @@ class AsyncWriter:
             fn, args, kwargs = item
             try:
                 fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 — a failed write must not
+                # kill the worker (wait_for_completion would hang forever);
+                # record and keep draining, mirroring the reference's
+                # log-and-continue error handling (AnalysisWriter.cpp:68-80).
+                self._errors.append(e)
+                from ..utils.logging import get_logger
+
+                get_logger("AsyncWriter").error(
+                    f"write task failed: {type(e).__name__}: {e}")
             finally:
                 self._q.task_done()
 

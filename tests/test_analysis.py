@@ -220,3 +220,20 @@ def test_generate_full_report_tree(tmp_path, spain_params):
     assert len(scen) == 4
     assert scen[1].startswith("baseline,")
     assert scen[2].startswith("stricter_lockdown,")
+
+
+def test_async_writer_survives_failed_task(tmp_path):
+    """A failing write task must not kill the worker (wait_for_completion
+    would hang); errors are recorded and later tasks still run."""
+    from mmidv1_tpu.analysis.writers import AsyncWriter, write_aggregated_summary
+
+    w = AsyncWriter()
+    w.submit(lambda: (_ for _ in ()).throw(OSError("disk on fire")))
+    ok_path = tmp_path / "ok.csv"
+    w.submit(write_aggregated_summary, str(ok_path),
+             {"R0": {"mean": 1.0, "median": 1.0, "std_dev": 0.0,
+                     "q025": 1.0, "q975": 1.0}})
+    w.wait_for_completion()
+    assert ok_path.exists()
+    assert len(w.errors) == 1 and isinstance(w.errors[0], OSError)
+    w.close()
