@@ -46,12 +46,14 @@ re-estimation and final best-reduction collective (``psum``/``all_gather``); see
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.logging import get_logger
 from .param_space import ParameterSpace
 
 
@@ -371,3 +373,78 @@ def run_mh(
     if _jit:
         run = jax.jit(run)
     return run(state0, k_run)
+
+
+def run_mh_checkpointed(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    theta0: jnp.ndarray,
+    key: jax.Array,
+    cfg: MHConfig,
+    *,
+    n_chains: int = 8,
+    segments: int = 10,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = True,
+    initial_cov: Optional[jnp.ndarray] = None,
+    jitter: float = 1.0,
+    progress_fn: Optional[Callable] = None,
+    loglik_batch: Optional[Callable] = None,
+) -> MHResult:
+    """Production campaign driver: the run split into ``segments`` device
+    programs with a disk checkpoint between each.
+
+    Long single XLA programs are fragile (device watchdogs/preemption — on
+    this environment programs beyond a few minutes of device time crash the
+    TPU worker); the reference has the same concern with multi-hour runs and
+    solves it with write-only trace checkpoints but NO resume path
+    (``MetropolisHastingsSampler.cpp:380-409``, SURVEY.md §5). Here each
+    segment is an ordinary :func:`run_mh` program, the full sampler state is
+    checkpointed after every segment, and ``resume=True`` continues an
+    interrupted campaign from the last checkpoint: a killed-and-restarted
+    campaign produces EXACTLY the completed campaign's samples (tested).
+
+    Per-segment RNG is ``fold_in(key, segment_index)``, so the stream depends
+    only on (key, segment index), not on where the campaign was interrupted.
+    Returns an :class:`MHResult` whose thinned samples span all segments run
+    in THIS process (segments completed before a resume live in their trace
+    files / the checkpoint).
+    """
+    if segments <= 0:
+        raise ValueError("segments must be positive")
+    per_segment = -(-cfg.iterations // segments)
+    seg_cfg = dataclasses.replace(cfg, iterations=per_segment)
+
+    state = None
+    start_segment = 0
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        from ..utils.checkpoint import load_mh_state
+
+        state = load_mh_state(checkpoint_path)
+        start_segment = int(np.asarray(state.step)) // per_segment
+        get_logger("mh").info(
+            f"resuming campaign from {checkpoint_path} at step "
+            f"{int(np.asarray(state.step))} (segment {start_segment})")
+
+    all_samples, all_logps = [], []
+    result = None
+    for s in range(start_segment, segments):
+        result = run_mh(loglik, space, theta0, jax.random.fold_in(key, s),
+                        seg_cfg, n_chains=n_chains,
+                        initial_cov=initial_cov if state is None else None,
+                        initial_state=state, jitter=jitter,
+                        progress_fn=progress_fn, loglik_batch=loglik_batch)
+        state = result.final_state
+        all_samples.append(np.asarray(result.samples))
+        all_logps.append(np.asarray(result.sample_logps))
+        if checkpoint_path:
+            from ..utils.checkpoint import save_mh_state
+
+            save_mh_state(checkpoint_path, state)
+    if result is None:   # fully resumed campaign with nothing left to run
+        raise ValueError(
+            f"checkpoint already covers all {segments} segments "
+            f"({int(np.asarray(state.step))} steps); nothing to run")
+    return result._replace(
+        samples=jnp.asarray(np.concatenate(all_samples, axis=0)),
+        sample_logps=jnp.asarray(np.concatenate(all_logps, axis=0)))
