@@ -123,7 +123,7 @@ def build_objective(
         f = lambda t, y, beta_eff: sepaihrd.rhs_frozen(t, y, params, beta_eff)
 
         def fold(acc, i, y):
-            ll, prev = acc
+            ll, comp, prev = acc
             cur = y[model_rows]                        # (3, A) cumulative values
             inc = jnp.maximum(cur - prev, 0.0) + eps   # daily incidence, clamped
             j = i - runup_offset
@@ -132,21 +132,27 @@ def build_objective(
             o = jax.lax.dynamic_index_in_dim(obs_t, jc, keepdims=False)  # (3, A)
             v = jax.lax.dynamic_index_in_dim(obs_valid_t, jc, keepdims=False)
             term = jnp.sum(jnp.where(v, o * jnp.log(inc) - inc, 0.0))
-            ll = ll + jnp.where(in_obs, term, 0.0)
-            return ll, cur
+            # Kahan-compensated accumulation: the plain running sum of ~300
+            # O(1e4) terms carries O(1) float32 noise, which is enough to
+            # perturb MCMC accept decisions near the optimum.
+            contrib = jnp.where(in_obs, term, 0.0) - comp
+            ll_new = ll + contrib
+            comp = (ll_new - ll) - contrib
+            return ll_new, comp, cur
 
-        init = (jnp.zeros((), dtype=dtype), base_y0[model_rows] * 0.0)
+        init = (jnp.zeros((), dtype=dtype), jnp.zeros((), dtype=dtype),
+                base_y0[model_rows] * 0.0)
         # fold is first applied to (init, 0, y0): with prev=0 the i=0 row would be
         # cur - 0; anchor prev to y0's own cumulative rows so row 0 incidence is 0
         # (reference :192-208 anchors row 0 to the initial state).
         def fold_anchored(acc, i, y):
-            ll, prev = acc
+            ll, comp, prev = acc
             prev = jnp.where(i == 0, y[model_rows], prev)
-            return fold((ll, prev), i, y)
+            return fold((ll, comp, prev), i, y)
 
-        (ll, _), _yf = fold_times_fixed(f, y0, ts_j, fold_anchored, init,
-                                        substeps=substeps, method=tableau,
-                                        interval_ctx=ctx)
+        (ll, _comp, _), _yf = fold_times_fixed(f, y0, ts_j, fold_anchored, init,
+                                               substeps=substeps, method=tableau,
+                                               interval_ctx=ctx)
         bad = infeasible | jnp.isnan(ll) | jnp.isinf(ll)
         return jnp.where(bad, lowest(dtype), ll)
 

@@ -177,14 +177,17 @@ class ParameterSpace:
                 updates[field] = theta[tidx[0]].astype(cur.dtype)
             else:
                 n = cur.shape[-1]
-                sel = np.zeros((n, self.dim))
-                sel[fidx, tidx] = 1.0
+                sel = np.zeros((n, self.dim), dtype=bool)
+                sel[fidx, tidx] = True
                 mask = np.zeros((n,), dtype=bool)
                 mask[fidx] = True
-                updates[field] = jnp.where(
-                    jnp.asarray(mask),
-                    jnp.asarray(sel, dtype=cur.dtype) @ theta.astype(cur.dtype),
-                    cur)
+                # select+sum, NOT a matmul: TPU f32 matmuls multiply in
+                # bfloat16 by default, which would round the applied
+                # parameter values to ~3 digits (see OPS_ANALYSIS.md)
+                gathered = jnp.sum(jnp.where(jnp.asarray(sel),
+                                             theta.astype(cur.dtype), 0),
+                                   axis=-1)
+                updates[field] = jnp.where(jnp.asarray(mask), gathered, cur)
         return base.replace(**updates)
 
     def extract(self, params: SEPAIHRDParams) -> jnp.ndarray:

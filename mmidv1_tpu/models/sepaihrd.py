@@ -42,6 +42,17 @@ from ..params import SEPAIHRDParams, beta_at, kappa_at
 STATE_SHAPE_DOC = "(11, n_ages): rows S,E,P,A,I,H,ICU,R,D,CumH,CumICU"
 
 
+def _contact_matvec(M: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """(A, A) @ (A,) as an exact broadcast-multiply + sum.
+
+    NOT ``M @ v``: TPU float32 matmuls multiply in bfloat16 by default, which
+    injects ~1e-3 relative noise into the force of infection and, integrated
+    over a year, tens-to-hundreds of log-likelihood units — enough to break
+    MCMC acceptance (see OPS_ANALYSIS.md). The A=4 contraction is cheaper on
+    the VPU anyway."""
+    return jnp.sum(M * v[..., None, :], axis=-1)
+
+
 def inv_population(params: SEPAIHRDParams) -> jnp.ndarray:
     """Safe 1/N per age group (reference ``AgeSEPAIHRDModel.cpp:46-49``)."""
     return jnp.where(params.N > C.MIN_POPULATION_FOR_DIVISION, 1.0 / params.N, 0.0)
@@ -56,7 +67,7 @@ def force_of_infection(params: SEPAIHRDParams, y: jnp.ndarray, t) -> jnp.ndarray
     A_ = y[C.A]
     I_ = y[C.I]
     inf_pressure = (P_ + A_ + params.theta * I_) * params.h_infec * inv_population(params)
-    lam = params.contact_matrix() @ inf_pressure
+    lam = _contact_matvec(params.contact_matrix(), inf_pressure)
     beta_eff = beta_at(params, t) * kappa_at(params, t)
     lam = beta_eff * params.a * lam
     return jnp.maximum(lam, 0.0)
@@ -113,7 +124,7 @@ def rhs_frozen(t, y: jnp.ndarray, params: SEPAIHRDParams, beta_eff) -> jnp.ndarr
                                     y[C.ICU])
 
     inf_pressure = (P_ + A_ + params.theta * I_) * params.h_infec * inv_population(params)
-    lam = params.contact_matrix() @ inf_pressure
+    lam = _contact_matvec(params.contact_matrix(), inf_pressure)
     lam = jnp.maximum(beta_eff * params.a * lam, 0.0)
 
     flow_SE = lam * S_

@@ -55,7 +55,9 @@ def _rhs(y, prm, M):
     S, E, Pc, A, I, H, ICU = (y[_S], y[_E], y[_P], y[_A], y[_I], y[_H],
                               y[_ICU])
     ip = (Pc + A + prm["theta"] * I) * prm["hinfN"]          # (4, Bt)
-    lam = jnp.dot(M, ip, preferred_element_type=ip.dtype)    # (4, Bt)
+    # exact f32 contraction (TPU MXU f32 matmuls multiply in bf16 by default)
+    lam = jnp.dot(M, ip, preferred_element_type=ip.dtype,
+                  precision=jax.lax.Precision.HIGHEST)       # (4, Bt)
     lam = jnp.maximum(prm["beta"] * (prm["a"] * lam), 0.0)
 
     fSE = lam * S
@@ -141,11 +143,14 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
         def poisson(ov_ref, v_ref, jc, inc):
             ov = ov_ref[pl.ds(jc, 1), :]                     # (1, 4)
             v = v_ref[pl.ds(jc, 1), :]
-            return (jnp.dot(ov, jnp.log(inc), preferred_element_type=dt_)
-                    - jnp.dot(v, inc, preferred_element_type=dt_))
+            hi = jax.lax.Precision.HIGHEST   # bf16 multiplies would inject
+            return (jnp.dot(ov, jnp.log(inc),                # O(10) LL noise
+                            preferred_element_type=dt_, precision=hi)
+                    - jnp.dot(v, inc, preferred_element_type=dt_,
+                              precision=hi))
 
         def interval(t, carry):
-            y, prev, ll = carry
+            y, prev, ll, comp = carry
             beta = beta_ref[pl.ds(t, 1), :]                  # (1, Bt)
             y = dopri_interval(y, dict(prm, beta=beta), M)
             cur = (y[_D], y[_CUMH], y[_CUMICU])
@@ -160,8 +165,11 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                                  (obs_h_ref, val_h_ref),
                                  (obs_i_ref, val_i_ref))[refs]
                 term = term + poisson(ov_ref, v_ref, jc, inc)
-            ll = ll + jnp.where(in_obs, term, 0.0)
-            return y, cur, ll
+            # Kahan-compensated accumulation (see build_objective's fold)
+            contrib = jnp.where(in_obs, term, 0.0) - comp
+            ll_new = ll + contrib
+            comp = (ll_new - ll) - contrib
+            return y, cur, ll_new, comp
 
         if runup_offset == 0:
             inc0 = jnp.full_like(prev[0], _EPS)
@@ -170,11 +178,14 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                                   (obs_i_ref, val_i_ref)):
                 ov = ov_ref[0:1, :]
                 v = v_ref[0:1, :]
+                hi = jax.lax.Precision.HIGHEST
                 ll0 = ll0 + (jnp.dot(ov, jnp.log(inc0),
-                                     preferred_element_type=dt_)
-                             - jnp.dot(v, inc0, preferred_element_type=dt_))
+                                     preferred_element_type=dt_, precision=hi)
+                             - jnp.dot(v, inc0, preferred_element_type=dt_,
+                                       precision=hi))
 
-        _, _, ll = jax.lax.fori_loop(0, T - 1, interval, (y, prev, ll0))
+        _, _, ll, _comp = jax.lax.fori_loop(
+            0, T - 1, interval, (y, prev, ll0, jnp.zeros_like(ll0)))
         ll_ref[:] = ll
 
     return kernel

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Production MCMC campaign: segmented 8192-chain sampling on TPU.
+
+The production counterpart of the reference's 100k-iteration single-chain run
+(``data/configuration/mcmc_settings.txt``): an 8192-chain ensemble advances in
+checkpointed segments (`run_mh_checkpointed`) with the Pallas fused objective,
+writes a posterior trace per segment, float64-re-selects the MAP, and
+regenerates the full analysis report from the campaign posterior.
+
+Usage:
+    python scripts/production_campaign.py [--chains 8192] [--iterations 20000]
+        [--segments 20] [--thinning 500] [--out results/spain2020_campaign]
+        [--init results/spain2020/calibrated_parameters.txt]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REFERENCE_BEST_LL = 1.41969205e+06
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--chains", type=int, default=8192)
+    p.add_argument("--iterations", type=int, default=20000)
+    p.add_argument("--segments", type=int, default=20)
+    p.add_argument("--burn-in", type=int, default=500)
+    p.add_argument("--thinning", type=int, default=500)
+    p.add_argument("--substeps", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--init",
+                   default=os.path.join(REPO, "results", "spain2020",
+                                        "calibrated_parameters.txt"))
+    p.add_argument("--out",
+                   default=os.path.join(REPO, "results", "spain2020_campaign"))
+    p.add_argument("--skip-report", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+
+    from mmidv1_tpu.analysis import generate_full_report
+    from mmidv1_tpu.calibration.mh import MHConfig, run_mh_checkpointed
+    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
+    from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
+    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
+                                 read_params_to_calibrate,
+                                 read_proposal_sigmas,
+                                 read_sepaihrd_parameters)
+    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+    from mmidv1_tpu.ops import build_objective_pallas
+    from mmidv1_tpu.utils.checkpoint import write_posterior_trace
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} / {dev.device_kind}")
+    cfg_dir = os.path.join(REPO, "data", "configuration")
+    data = CalibrationData.from_csv(
+        os.path.join(REPO, "data", "processed", "processed_data.csv"),
+        "2020-03-01", "2020-12-31")
+    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
+    params = read_sepaihrd_parameters(
+        os.path.join(cfg_dir, "initial_guess.txt"), 4,
+        N=data.population_by_age, M_baseline=M, dtype=jnp.float32)
+    names = read_params_to_calibrate(
+        os.path.join(cfg_dir, "params_to_calibrate.txt"))
+    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
+    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
+    space = ParameterSpace.create(names, bounds, sigmas, params)
+    ts = make_time_grid(float(np.asarray(params.runup_days)),
+                        data.n_data_points)
+
+    loglik = build_objective(space, params, data, ts, substeps=args.substeps,
+                             constraint_mode=REFLECT, dtype=jnp.float32)
+    ll_batch = build_objective_pallas(space, params, data, ts,
+                                      substeps=args.substeps,
+                                      constraint_mode=REFLECT,
+                                      dtype=jnp.float32,
+                                      block_b=min(2048, args.chains))
+    init = read_sepaihrd_parameters(args.init, 4, N=data.population_by_age,
+                                    M_baseline=M, dtype=jnp.float32)
+    theta0 = space.extract(init)
+
+    # warm proposal covariance from the committed posterior ensemble (same
+    # conditioning as the phase-1 -> phase-2 transfer)
+    initial_cov = None
+    post_path = os.path.join(os.path.dirname(args.init),
+                             "posterior_samples.npz")
+    if os.path.exists(post_path):
+        from mmidv1_tpu.calibration.calibrator import condition_covariance
+        z = np.load(post_path)
+        post = z["samples"].reshape(-1, space.dim)[-50000:]
+        cov = np.cov(post.T)
+        initial_cov = condition_covariance(
+            jnp.asarray(cov, jnp.float32), space.sigmas.astype(jnp.float32))
+        print(f"warm covariance from {post_path} ({post.shape[0]} draws)")
+
+    os.makedirs(args.out, exist_ok=True)
+    cfg = MHConfig(iterations=args.iterations, burn_in=args.burn_in,
+                   adaptation_period=100, thinning=args.thinning)
+    t0 = time.perf_counter()
+    res = run_mh_checkpointed(
+        loglik, space, theta0, jax.random.PRNGKey(args.seed), cfg,
+        n_chains=args.chains, segments=args.segments,
+        checkpoint_path=os.path.join(args.out, "campaign_checkpoint.npz"),
+        initial_cov=initial_cov, loglik_batch=ll_batch)
+    wall = time.perf_counter() - t0
+    steps = int(np.asarray(res.final_state.step)) * args.chains
+    print(f"campaign: {args.iterations} iters x {args.chains} chains in "
+          f"{wall:.0f}s ({steps/wall:.3e} chain-steps/s incl. host overhead)")
+    print(f"mean acceptance {float(np.mean(np.asarray(res.acceptance_rate))):.3f}")
+
+    samples = np.asarray(res.samples)
+    write_posterior_trace(os.path.join(args.out, "posterior_trace.csv"),
+                          samples, np.asarray(res.sample_logps),
+                          list(space.names))
+
+    if not args.skip_report:
+        out = generate_full_report(samples, space, params, data, ts,
+                                   args.out, num_samples_for_ppc=200,
+                                   batch_size=1024, substeps=args.substeps,
+                                   seed=args.seed)
+        print(f"report over {out['n_draws']} draws -> {args.out}")
+
+    # float64 MAP re-selection across all chain MAPs (x64 flips jit dtypes,
+    # so this must come after every float32 program has run)
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp64
+    params64 = jax.tree_util.tree_map(
+        lambda x: jnp64.asarray(np.asarray(x), jnp64.float64), params)
+    ll64 = build_objective(space, params64, data, ts, substeps=args.substeps,
+                           constraint_mode=REFLECT, dtype=jnp64.float64)
+    cands = jnp64.asarray(np.asarray(res.final_state.best_x), jnp64.float64)
+    lls = np.asarray(jax.jit(jax.vmap(ll64))(cands))
+    k = int(np.argmax(lls))
+    print(f"float64 MAP over {len(lls)} chains: {float(lls[k]):.8e} "
+          f"({'BEATS' if lls[k] > REFERENCE_BEST_LL else 'below'} reference)")
+
+    meta = {"chains": args.chains, "iterations": args.iterations,
+            "segments": args.segments, "thinning": args.thinning,
+            "wall_seconds": wall, "chain_steps_per_sec_incl_host": steps / wall,
+            "best_logl_float64": float(lls[k]),
+            "mean_acceptance": float(np.mean(np.asarray(res.acceptance_rate))),
+            "stored_samples": int(samples.shape[0] * samples.shape[1]),
+            "device": f"{dev.platform}/{dev.device_kind}", "seed": args.seed}
+    with open(os.path.join(args.out, "campaign_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
