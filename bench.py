@@ -109,7 +109,8 @@ def main():
     # sampler loops do). This is the primary reported metric.
     solves_per_sec = B / dt
     try:
-        from mmidv1_tpu.ops.sepaihrd_pallas import fused_objective
+        from mmidv1_tpu.ops.sepaihrd_pallas import (SCHED_ROWS, fused_objective,
+                                                    period_runs_for_grid)
 
         y0 = sepaihrd.runup_seeded_state(params, None)
         y0_pad = jnp.zeros((11, 8), dtype).at[:, 0:4].set(y0).reshape(88)
@@ -123,16 +124,23 @@ def main():
                        params.gamma_A, params.gamma_I, params.gamma_H,
                        params.gamma_ICU])])
         rows_all = jnp.tile(rows[:, None], (1, B))
-        base_beta = sepaihrd.interval_beta_eff(params, ts)
+        runs = period_runs_for_grid(np.asarray(ts),
+                                    np.asarray(params.beta_end_times),
+                                    np.asarray(params.kappa_end_times))
+        bv = jnp.zeros((SCHED_ROWS,), dtype).at[
+            :params.beta_values.shape[-1]].set(params.beta_values)
+        kv = jnp.ones((SCHED_ROWS,), dtype).at[
+            :params.kappa_values.shape[-1]].set(params.kappa_values)
         obs1 = jnp.zeros((1, 4), dtype)
         Mj = jnp.asarray(params.M_baseline, dtype)
 
         def pallas_solve(scale):
-            beta_tb = base_beta[:, None] * scale[None, :]
-            return fused_objective(y0_all, rows_all, beta_tb, Mj,
+            bvals = bv[:, None] * scale[None, :]
+            kvals = jnp.tile(kv[:, None], (1, B))
+            return fused_objective(y0_all, rows_all, bvals, kvals, Mj,
                                    (obs1, obs1, obs1), (obs1, obs1, obs1),
-                                   runup_offset=DAYS, substeps=SUBSTEPS,
-                                   block_b=2048)
+                                   runup_offset=DAYS, period_runs=runs,
+                                   substeps=SUBSTEPS, block_b=2048)
 
         STEPS = 10
 

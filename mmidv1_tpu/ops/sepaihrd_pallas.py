@@ -93,7 +93,7 @@ def _axpy(y, coef, k):
 
 
 def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
-                 tableau: str):
+                 tableau: str, period_runs):
     tab = get_tableau(tableau)
     h = 1.0 / substeps
     a_tab, b_tab, fsal = tab.a, tab.b, tab.fsal
@@ -117,7 +117,7 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             k = ks[-1] if fsal else _rhs(y, prm, M)
         return y
 
-    def kernel(y0_ref, params_ref, beta_ref, M_ref,
+    def kernel(y0_ref, params_ref, bv_ref, kv_ref, M_ref,
                obs_d_ref, obs_h_ref, obs_i_ref,
                val_d_ref, val_h_ref, val_i_ref, ll_ref):
         from jax.experimental import pallas as pl
@@ -149,9 +149,8 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                     - jnp.dot(v, inc, preferred_element_type=dt_,
                               precision=hi))
 
-        def interval(t, carry):
+        def interval(t, carry, beta):
             y, prev, ll, comp = carry
-            beta = beta_ref[pl.ds(t, 1), :]                  # (1, Bt)
             y = dopri_interval(y, dict(prm, beta=beta), M)
             cur = (y[_D], y[_CUMH], y[_CUMICU])
             j = t + 1 - runup_offset
@@ -184,29 +183,73 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                              - jnp.dot(v, inc0, preferred_element_type=dt_,
                                        precision=hi))
 
-        _, _, ll, _comp = jax.lax.fori_loop(
-            0, T - 1, interval, (y, prev, ll0, jnp.zeros_like(ll0)))
+        # The daily intervals are grouped into STATIC runs of constant
+        # (beta period, kappa period) — schedule breakpoints are fixed file
+        # constants, so beta(t)*kappa(t) is one (1, Bt) multiply per run
+        # instead of a per-chain (T-1, B) table materialized in HBM (that
+        # table's construction + relayout dominated the objective's cost).
+        carry = (y, prev, ll0, jnp.zeros_like(ll0))
+        for pb, pk, start, count in period_runs:
+            beta = bv_ref[pb:pb + 1, :] * kv_ref[pk:pk + 1, :]
+            carry = jax.lax.fori_loop(
+                start, start + count,
+                lambda t, c, beta=beta: interval(t, c, beta), carry)
+        _, _, ll, _comp = carry
         ll_ref[:] = ll
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("runup_offset", "substeps",
-                                             "tableau", "block_b", "interpret"))
-def fused_objective(y0_pad, param_rows, beta_eff_tb, M, obs_streams,
-                    valid_streams, *, runup_offset: int, substeps: int = 4,
-                    tableau: str = "dopri5", block_b: int = 512,
-                    interpret: bool = False):
+def period_runs_for_grid(ts, beta_end_times, kappa_end_times):
+    """Static per-interval schedule runs: consecutive daily intervals sharing
+    the same (beta period, kappa period), evaluated at interval midpoints
+    (matching ``interval_beta_eff``). Returns a tuple of
+    ``(beta_row, kappa_row, start_interval, count)``."""
+    ts = np.asarray(ts, dtype=np.float64)
+    mids = 0.5 * (ts[:-1] + ts[1:])
+    bet = np.asarray(beta_end_times, dtype=np.float64)
+    ket = np.asarray(kappa_end_times, dtype=np.float64)
+
+    def idx(end_times, n_values):
+        if n_values == 0:
+            return np.zeros(len(mids), dtype=int)
+        i = np.searchsorted(end_times, mids, side="left")
+        return np.clip(i, 0, n_values - 1)
+
+    pb = idx(bet, len(bet))
+    pk = idx(ket, len(ket))
+    runs = []
+    start = 0
+    for t in range(1, len(mids) + 1):
+        if t == len(mids) or pb[t] != pb[start] or pk[t] != pk[start]:
+            runs.append((int(pb[start]), int(pk[start]), start, t - start))
+            start = t
+    return tuple(runs)
+
+
+SCHED_ROWS = 8   # beta/kappa value rows padded to one sublane tile
+
+
+@functools.partial(jax.jit, static_argnames=("runup_offset", "period_runs",
+                                             "substeps", "tableau", "block_b",
+                                             "interpret"))
+def fused_objective(y0_pad, param_rows, bvals, kvals, M, obs_streams,
+                    valid_streams, *, runup_offset: int, period_runs,
+                    substeps: int = 4, tableau: str = "dopri5",
+                    block_b: int = 512, interpret: bool = False):
     """Run the fused solve+fold kernel.
 
     Args (B = global batch; trailing-batch layout):
       y0_pad:        (88, B) initial states, compartment c at rows 8c..8c+3
                      (8-row alignment so in-kernel unpacking is tile-aligned)
       param_rows:    (39, B) per-chain parameter block
-      beta_eff_tb:   (T-1, B) per-interval beta*kappa*scaling
+      bvals:         (8, B) per-chain beta period values * scaling (row p =
+                     period p; unused rows arbitrary)
+      kvals:         (8, B) per-chain kappa period values (ones when no NPI)
       M:             (4, 4) contact matrix (shared)
       obs_streams:   3 x (T_obs, 4) observations*valid: (deaths, hosp, icu)
       valid_streams: 3 x (T_obs, 4) validity masks
+      period_runs:   static tuple from :func:`period_runs_for_grid`
 
     Returns (B,) log-likelihoods (caller applies infeasibility masking).
     """
@@ -215,12 +258,13 @@ def fused_objective(y0_pad, param_rows, beta_eff_tb, M, obs_streams,
 
     dtype = y0_pad.dtype
     B = y0_pad.shape[1]
-    T = beta_eff_tb.shape[0] + 1
+    T = 1 + sum(r[3] for r in period_runs)
     T_obs = obs_streams[0].shape[0]
     if B % block_b != 0:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
 
-    kernel = _make_kernel(T, T_obs, runup_offset, substeps, tableau)
+    kernel = _make_kernel(T, T_obs, runup_offset, substeps, tableau,
+                          period_runs)
     grid = (B // block_b,)
     tile = lambda rows: pl.BlockSpec((rows, block_b), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
@@ -230,13 +274,14 @@ def fused_objective(y0_pad, param_rows, beta_eff_tb, M, obs_streams,
     ll = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tile(88), tile(N_PARAM_ROWS), tile(T - 1), rep(4, 4),
+        in_specs=[tile(88), tile(N_PARAM_ROWS), tile(SCHED_ROWS),
+                  tile(SCHED_ROWS), rep(4, 4),
                   rep(T_obs, 4), rep(T_obs, 4), rep(T_obs, 4),
                   rep(T_obs, 4), rep(T_obs, 4), rep(T_obs, 4)],
         out_specs=tile(1),
         out_shape=jax.ShapeDtypeStruct((1, B), dtype),
         interpret=interpret,
-    )(y0_pad, param_rows, beta_eff_tb, M, *obs_streams, *valid_streams)
+    )(y0_pad, param_rows, bvals, kvals, M, *obs_streams, *valid_streams)
     return ll[0]
 
 
@@ -269,7 +314,8 @@ def build_objective_pallas(space, base_params, data, ts, *,
             gamma_A=base_params.gamma_A, gamma_I=base_params.gamma_I,
             p=base_params.p, h=base_params.h)
     base_y0 = jnp.asarray(base_initial_state, dtype=dtype)
-    ts_j = jnp.asarray(ts, dtype=dtype)
+    period_runs = period_runs_for_grid(ts, np.asarray(base_params.beta_end_times),
+                                       np.asarray(base_params.kappa_end_times))
 
     def stream(x):
         x = np.asarray(x, dtype=np.float64)
@@ -293,8 +339,15 @@ def build_objective_pallas(space, base_params, data, ts, *,
         # rows 8c..8c+3 hold compartment c's 4 ages (8-row alignment)
         y0_pad = jnp.zeros((11, 8), dtype=dtype).at[:, 0:4].set(y0)
         y0_pad = y0_pad.reshape(88)
-        beta_eff = sepaihrd.interval_beta_eff(params, ts_j) * \
-            params.contact_matrix_scaling_factor
+        # per-period schedule value rows (scaling folded into beta)
+        bsrc = (params.beta_values if params.beta_values.shape[-1]
+                else params.beta[None])
+        bvals = jnp.zeros((SCHED_ROWS,), dtype=dtype).at[
+            :bsrc.shape[-1]].set(bsrc * params.contact_matrix_scaling_factor)
+        ksrc = (params.kappa_values if params.kappa_values.shape[-1]
+                else jnp.ones((1,), dtype=dtype))
+        kvals = jnp.ones((SCHED_ROWS,), dtype=dtype).at[
+            :ksrc.shape[-1]].set(ksrc)
         rows = jnp.concatenate([
             params.a, params.h_infec * invN, params.p, params.h, params.icu,
             params.d_H, params.d_ICU, params.d_community,
@@ -302,17 +355,18 @@ def build_objective_pallas(space, base_params, data, ts, *,
                        params.gamma_A, params.gamma_I, params.gamma_H,
                        params.gamma_ICU]),
         ])
-        return y0_pad, rows, beta_eff, infeasible
+        return y0_pad, rows, bvals, kvals, infeasible
 
     @jax.jit
     def loglik_batch(thetas):
         # out_axes=-1 emits the kernel's trailing-batch layout directly
         # (an explicit .T costs ~ms at 8192 chains)
-        y0, rows, beta_eff, infeasible = jax.vmap(
-            prep_one, out_axes=(-1, -1, -1, 0))(thetas)
-        ll = fused_objective(y0, rows, beta_eff, M,
+        y0, rows, bvals, kvals, infeasible = jax.vmap(
+            prep_one, out_axes=(-1, -1, -1, -1, 0))(thetas)
+        ll = fused_objective(y0, rows, bvals, kvals, M,
                              (obs_d, obs_h, obs_i), (val_d, val_h, val_i),
-                             runup_offset=runup_offset, substeps=substeps,
+                             runup_offset=runup_offset,
+                             period_runs=period_runs, substeps=substeps,
                              tableau=tableau,
                              block_b=min(block_b, thetas.shape[0]),
                              interpret=interpret)
