@@ -5,7 +5,7 @@ simulation loop: NGM R0/Rt, EssentialMetrics, PPC quantile bands, ENE-COVID
 validation, scenario analysis, and the reference-shaped CSV output tree.
 """
 
-from . import aggregate, writers
+from . import aggregate, diagnostics, writers
 from .metrics import essential_metrics, seroprevalence_trajectory
 from .report import generate_full_report
 from .reproduction import (calculate_r0, calculate_rt, reduced_ngm,
@@ -13,6 +13,7 @@ from .reproduction import (calculate_r0, calculate_rt, reduced_ngm,
 
 __all__ = [
     "aggregate",
+    "diagnostics",
     "writers",
     "essential_metrics",
     "seroprevalence_trajectory",

@@ -1,0 +1,85 @@
+"""MCMC convergence diagnostics: split-R-hat and effective sample size.
+
+The reference ships NO convergence diagnostics (its single chain is assessed
+by eye from the trace CSVs); a production multi-chain framework needs them.
+Implementations follow Gelman et al., *Bayesian Data Analysis* 3rd ed.
+(split-R-hat, §11.4) and Geyer's initial-monotone-sequence ESS estimator as
+used by Stan/ArviZ. Pure NumPy — diagnostics are post-hoc host work.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+
+
+def split_rhat(samples: np.ndarray) -> np.ndarray:
+    """Split-R-hat per parameter.
+
+    ``samples``: (n_draws, n_chains, d). Each chain is split in half (2m
+    half-chains of length n/2); R-hat = sqrt(((n-1)/n * W + B/n) / W).
+    Values near 1.0 (< 1.01 strict, < 1.05 lenient) indicate convergence.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    n, m, d = x.shape
+    half = n // 2
+    x = np.concatenate([x[:half], x[half:2 * half]], axis=1)  # (half, 2m, d)
+    n, m = x.shape[0], x.shape[1]
+    chain_mean = x.mean(axis=0)                    # (2m, d)
+    chain_var = x.var(axis=0, ddof=1)              # (2m, d)
+    B = n * chain_mean.var(axis=0, ddof=1)         # (d,)
+    W = chain_var.mean(axis=0)                     # (d,)
+    var_plus = (n - 1) / n * W + B / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rhat = np.sqrt(var_plus / W)
+    return np.where(W > 0, rhat, 1.0)
+
+
+def effective_sample_size(samples: np.ndarray, max_lag: int = 200) -> np.ndarray:
+    """ESS per parameter via autocorrelation with Geyer's initial monotone
+    sequence (summing paired autocorrelations while positive & decreasing).
+
+    ``samples``: (n_draws, n_chains, d). Returns (d,).
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    n, m, d = x.shape
+    max_lag = min(max_lag, n - 1)
+    xc = x - x.mean(axis=0, keepdims=True)
+    var = xc.var(axis=0).mean(axis=0)              # (d,) mean within-chain var
+    ess = np.empty(d)
+    for j in range(d):
+        if var[j] <= 0:
+            ess[j] = n * m
+            continue
+        # mean autocorrelation across chains
+        rho = np.empty(max_lag + 1)
+        rho[0] = 1.0
+        for lag in range(1, max_lag + 1):
+            c = np.mean(xc[:-lag, :, j] * xc[lag:, :, j])
+            rho[lag] = c / var[j]
+        # Geyer pairs
+        tau = 1.0
+        prev_pair = np.inf
+        lag = 1
+        while lag + 1 <= max_lag:
+            pair = rho[lag] + rho[lag + 1]
+            if pair <= 0:
+                break
+            pair = min(pair, prev_pair)            # enforce monotone
+            tau += 2.0 * pair
+            prev_pair = pair
+            lag += 2
+        ess[j] = n * m / tau
+    return ess
+
+
+def summarize(samples: np.ndarray,
+              names: Sequence[str]) -> Dict[str, Dict[str, float]]:
+    """Per-parameter convergence summary: {name: {rhat, ess, ess_per_draw}}."""
+    rhat = split_rhat(samples)
+    ess = effective_sample_size(samples)
+    n_total = samples.shape[0] * samples.shape[1]
+    return {name: {"rhat": float(rhat[j]), "ess": float(ess[j]),
+                   "ess_per_draw": float(ess[j] / n_total)}
+            for j, name in enumerate(names)}

@@ -125,6 +125,15 @@ def main(argv=None) -> int:
                           samples, np.asarray(res.sample_logps),
                           list(space.names))
 
+    # convergence diagnostics over a chain subset (host-side NumPy)
+    from mmidv1_tpu.analysis.diagnostics import summarize
+
+    sub = samples[:, :: max(1, args.chains // 512), :]
+    diag = summarize(sub, list(space.names))
+    print(f"convergence: max split-R-hat "
+          f"{max(v['rhat'] for v in diag.values()):.3f}, min ESS "
+          f"{min(v['ess'] for v in diag.values()):.0f}")
+
     if not args.skip_report:
         out = generate_full_report(samples, space, params, data, ts,
                                    args.out, num_samples_for_ppc=200,
@@ -147,6 +156,9 @@ def main(argv=None) -> int:
           f"({'BEATS' if lls[k] > REFERENCE_BEST_LL else 'below'} reference)")
 
     meta = {"chains": args.chains, "iterations": args.iterations,
+            "diagnostics": {"max_rhat": max(v["rhat"] for v in diag.values()),
+                            "min_ess": min(v["ess"] for v in diag.values()),
+                            "per_parameter": diag},
             "segments": args.segments, "thinning": args.thinning,
             "wall_seconds": wall, "chain_steps_per_sec_incl_host": steps / wall,
             "best_logl_float64": float(lls[k]),

@@ -237,3 +237,36 @@ def test_async_writer_survives_failed_task(tmp_path):
     assert ok_path.exists()
     assert len(w.errors) == 1 and isinstance(w.errors[0], OSError)
     w.close()
+
+
+def test_convergence_diagnostics():
+    """split-R-hat ~1 and high ESS for iid chains; R-hat >> 1 for divergent
+    chains; ESS shrinks under strong autocorrelation."""
+    from mmidv1_tpu.analysis.diagnostics import (effective_sample_size,
+                                                 split_rhat, summarize)
+
+    rng = np.random.default_rng(0)
+    iid = rng.normal(size=(1000, 8, 3))
+    rhat = split_rhat(iid)
+    np.testing.assert_allclose(rhat, 1.0, atol=0.02)
+    ess = effective_sample_size(iid)
+    assert (ess > 0.5 * 8000).all()
+
+    # divergent chain means -> large R-hat
+    shifted = iid.copy()
+    shifted[:, 0, :] += 10.0
+    assert (split_rhat(shifted) > 1.5).all()
+
+    # AR(1) with phi=0.9 -> ESS ~ n*(1-phi)/(1+phi) ~ 5% of draws
+    n, m = 2000, 4
+    ar = np.zeros((n, m, 1))
+    eps = rng.normal(size=(n, m, 1))
+    for t in range(1, n):
+        ar[t] = 0.9 * ar[t - 1] + eps[t]
+    ess_ar = effective_sample_size(ar)[0]
+    assert ess_ar < 0.15 * n * m
+    assert ess_ar > 0.01 * n * m
+
+    s = summarize(iid, ["a", "b", "c"])
+    assert set(s) == {"a", "b", "c"}
+    assert 0.9 < s["a"]["rhat"] < 1.05
