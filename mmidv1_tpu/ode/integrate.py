@@ -50,18 +50,20 @@ def rk_step(f: Callable, t, y, dt, tab: Tableau):
     ``err_vec`` is the embedded error estimate (zeros when the tableau has none).
     The stage loop unrolls at trace time into one fused XLA computation.
     """
+    # NumPy f64 coefficient scalars would promote float32 states to float64
+    # under jax_enable_x64; Python floats are weak-typed and preserve dtype.
     ks = []
     for i in range(tab.stages):
         yi = y
         for j in range(i):
-            aij = tab.a[i, j]
+            aij = float(tab.a[i, j])
             if aij != 0.0:
                 yi = yi + (dt * aij) * ks[j]
-        ks.append(f(t + tab.c[i] * dt, yi))
+        ks.append(f(t + float(tab.c[i]) * dt, yi))
 
     y_new = y
     for i in range(tab.stages):
-        bi = tab.b[i]
+        bi = float(tab.b[i])
         if bi != 0.0:
             y_new = y_new + (dt * bi) * ks[i]
 
@@ -70,7 +72,7 @@ def rk_step(f: Callable, t, y, dt, tab: Tableau):
     else:
         err = jnp.zeros_like(y)
         for i in range(tab.stages):
-            bei = tab.b_err[i]
+            bei = float(tab.b_err[i])
             if bei != 0.0:
                 err = err + (dt * bei) * ks[i]
     return y_new, err
@@ -165,13 +167,13 @@ def _rk_step_fsal(f, t, y, dt, tab: Tableau, k_first):
     for i in range(1, tab.stages):
         yi = y
         for j in range(i):
-            aij = tab.a[i, j]
+            aij = float(tab.a[i, j])
             if aij != 0.0:
                 yi = yi + (dt * aij) * ks[j]
-        ks.append(f(t + tab.c[i] * dt, yi))
+        ks.append(f(t + float(tab.c[i]) * dt, yi))
     y_new = y
     for i in range(tab.stages):
-        bi = tab.b[i]
+        bi = float(tab.b[i])
         if bi != 0.0:
             y_new = y_new + (dt * bi) * ks[i]
     return y_new, ks[-1]

@@ -107,12 +107,14 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                 yi = y
                 for j in range(i):
                     if a_tab[i, j] != 0.0:
-                        yi = _axpy(yi, h * a_tab[i, j], ks[j])
+                        # Python float: a NumPy f64 scalar would promote the
+                        # f32 state to f64 under jax_enable_x64
+                        yi = _axpy(yi, float(h * a_tab[i, j]), ks[j])
                 ks.append(_rhs(yi, prm, M))
             y_new = y
             for i in range(stages):
                 if b_tab[i] != 0.0:
-                    y_new = _axpy(y_new, h * b_tab[i], ks[i])
+                    y_new = _axpy(y_new, float(h * b_tab[i]), ks[i])
             y = y_new
             k = ks[-1] if fsal else _rhs(y, prm, M)
         return y

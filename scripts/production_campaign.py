@@ -42,13 +42,19 @@ def main(argv=None) -> int:
     p.add_argument("--out",
                    default=os.path.join(REPO, "results", "spain2020_campaign"))
     p.add_argument("--skip-report", action="store_true")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "float64"],
+                   help="float64 requires jax_enable_x64 (CPU smoke runs)")
     args = p.parse_args(argv)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
 
     from mmidv1_tpu.analysis import generate_full_report
     from mmidv1_tpu.calibration.mh import MHConfig, run_mh_checkpointed
@@ -71,7 +77,7 @@ def main(argv=None) -> int:
     M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
     params = read_sepaihrd_parameters(
         os.path.join(cfg_dir, "initial_guess.txt"), 4,
-        N=data.population_by_age, M_baseline=M, dtype=jnp.float32)
+        N=data.population_by_age, M_baseline=M, dtype=dtype)
     names = read_params_to_calibrate(
         os.path.join(cfg_dir, "params_to_calibrate.txt"))
     bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
@@ -81,14 +87,17 @@ def main(argv=None) -> int:
                         data.n_data_points)
 
     loglik = build_objective(space, params, data, ts, substeps=args.substeps,
-                             constraint_mode=REFLECT, dtype=jnp.float32)
-    ll_batch = build_objective_pallas(space, params, data, ts,
-                                      substeps=args.substeps,
-                                      constraint_mode=REFLECT,
-                                      dtype=jnp.float32,
-                                      block_b=min(2048, args.chains))
+                             constraint_mode=REFLECT, dtype=dtype)
+    if dev.platform == "tpu" and args.dtype == "float32":
+        ll_batch = build_objective_pallas(space, params, data, ts,
+                                          substeps=args.substeps,
+                                          constraint_mode=REFLECT,
+                                          dtype=dtype,
+                                          block_b=min(2048, args.chains))
+    else:   # Pallas compiles only for TPU; CPU smoke runs use the XLA path
+        ll_batch = None
     init = read_sepaihrd_parameters(args.init, 4, N=data.population_by_age,
-                                    M_baseline=M, dtype=jnp.float32)
+                                    M_baseline=M, dtype=dtype)
     theta0 = space.extract(init)
 
     # warm proposal covariance from the committed posterior ensemble (same
@@ -102,7 +111,7 @@ def main(argv=None) -> int:
         post = z["samples"].reshape(-1, space.dim)[-50000:]
         cov = np.cov(post.T)
         initial_cov = condition_covariance(
-            jnp.asarray(cov, jnp.float32), space.sigmas.astype(jnp.float32))
+            jnp.asarray(cov, dtype), space.sigmas.astype(dtype))
         print(f"warm covariance from {post_path} ({post.shape[0]} draws)")
 
     os.makedirs(args.out, exist_ok=True)
@@ -143,7 +152,8 @@ def main(argv=None) -> int:
 
     # float64 MAP re-selection across all chain MAPs (x64 flips jit dtypes,
     # so this must come after every float32 program has run)
-    jax.config.update("jax_enable_x64", True)
+    if args.dtype != "float64":
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp64
     params64 = jax.tree_util.tree_map(
         lambda x: jnp64.asarray(np.asarray(x), jnp64.float64), params)

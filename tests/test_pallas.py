@@ -105,3 +105,21 @@ def test_run_mh_with_pallas_batch_objective(setup):
                    loglik_batch=ll_p)
     np.testing.assert_allclose(np.asarray(r_pal.samples),
                                np.asarray(r_ref.samples), rtol=1e-10)
+
+
+def test_run_pso_with_pallas_batch_objective(setup):
+    """PSO accepts the batch-native kernel objective (phase-1 engine)."""
+    from mmidv1_tpu.calibration.pso import PSOConfig, run_pso
+
+    params, data, ts, space = setup
+    ll = build_objective(space, params, data, ts, substeps=2,
+                         constraint_mode=REFLECT)
+    ll_p = build_objective_pallas(space, params, data, ts, substeps=2,
+                                  constraint_mode=REFLECT, interpret=True,
+                                  block_b=8)
+    cfg = PSOConfig(swarm_size=16, iterations=5)
+    key = jax.random.PRNGKey(6)
+    r_ref = run_pso(ll, space, key, cfg)
+    r_pal = run_pso(ll, space, key, cfg, loglik_batch=ll_p)
+    np.testing.assert_allclose(np.asarray(r_pal.best_x),
+                               np.asarray(r_ref.best_x), rtol=1e-10)

@@ -57,3 +57,26 @@ def test_post_calibration_analysis_report(tmp_path, spain_params):
     assert len(figs) >= 8
     html = (tmp_path / "analysis_report.html").read_text()
     assert "Aggregated metrics" in html and "Scenario comparison" in html
+
+
+@pytest.mark.slow
+def test_production_campaign_smoke(tmp_path):
+    """The segmented campaign driver end-to-end on a tiny CPU configuration."""
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import production_campaign
+
+    rc = production_campaign.main([
+        "--chains", "8", "--iterations", "12", "--segments", "3",
+        "--burn-in", "2", "--thinning", "4", "--substeps", "2",
+        "--dtype", "float64",          # conftest enables x64 process-wide
+        "--out", str(tmp_path), "--skip-report"])
+    assert rc == 0
+    assert (tmp_path / "campaign_checkpoint.npz").exists()
+    assert (tmp_path / "posterior_trace.csv").exists()
+    import json
+    meta = json.loads((tmp_path / "campaign_metadata.json").read_text())
+    assert meta["best_logl_float64"] > 1.0e6
+    assert "max_rhat" in meta["diagnostics"]
