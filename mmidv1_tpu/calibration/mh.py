@@ -322,6 +322,24 @@ def run_mh(
                                reg_eps=cfg.regularization_epsilon,
                                n_total=n_total, offset=offset)
 
+    run = make_mh_runner(space, cfg, loglik_batch, axis_name=axis_name,
+                         n_total=n_total, offset=offset,
+                         progress_fn=progress_fn, jit=_jit)
+    return run(state0, k_run)
+
+
+def make_mh_runner(space: ParameterSpace, cfg: MHConfig, loglik_batch: Callable,
+                   *, axis_name: Optional[str] = None,
+                   n_total: Optional[int] = None, offset=0,
+                   progress_fn: Optional[Callable] = None,
+                   jit: bool = True) -> Callable:
+    """Build the reusable jitted segment program ``(state0, key) -> MHResult``.
+
+    ``run_mh`` builds one per call; callers that run MANY segments with the
+    same configuration (the checkpointed campaign driver) should build it once
+    — re-tracing each segment costs ~10 s of host time on this machine, ~40%
+    of a 40-segment campaign's wall clock.
+    """
     thin = max(1, cfg.thinning)
     # Ceil-division: run at least `iterations` steps, rounded UP to a whole
     # number of thinning blocks (never silently fewer than configured).
@@ -370,9 +388,7 @@ def run_mh(
             final_cov=state.cov, final_scale=jnp.exp(state.log_scale),
             final_state=state)
 
-    if _jit:
-        run = jax.jit(run)
-    return run(state0, k_run)
+    return jax.jit(run) if jit else run
 
 
 def run_mh_checkpointed(
@@ -426,14 +442,22 @@ def run_mh_checkpointed(
             f"resuming campaign from {checkpoint_path} at step "
             f"{int(np.asarray(state.step))} (segment {start_segment})")
 
+    if loglik_batch is None:
+        loglik_batch = jax.vmap(loglik)
+    runner = None   # built on first use, reused across segments (one trace)
     all_samples, all_logps = [], []
     result = None
     for s in range(start_segment, segments):
-        result = run_mh(loglik, space, theta0, jax.random.fold_in(key, s),
-                        seg_cfg, n_chains=n_chains,
-                        initial_cov=initial_cov if state is None else None,
-                        initial_state=state, jitter=jitter,
-                        progress_fn=progress_fn, loglik_batch=loglik_batch)
+        k_init, k_run = jax.random.split(jax.random.fold_in(key, s))
+        if state is None:
+            state = init_mh_state(space, theta0, loglik_batch, k_init,
+                                  n_chains, jitter=jitter,
+                                  initial_cov=initial_cov,
+                                  reg_eps=seg_cfg.regularization_epsilon)
+        if runner is None:
+            runner = make_mh_runner(space, seg_cfg, loglik_batch,
+                                    progress_fn=progress_fn)
+        result = runner(state, k_run)
         state = result.final_state
         all_samples.append(np.asarray(result.samples))
         all_logps.append(np.asarray(result.sample_logps))
