@@ -109,38 +109,53 @@ def main():
     # sampler loops do). This is the primary reported metric.
     solves_per_sec = B / dt
     try:
-        from mmidv1_tpu.ops.sepaihrd_pallas import (SCHED_ROWS, fused_objective,
+        from mmidv1_tpu.ops.sepaihrd_pallas import (_sched_rows,
+                                                    fused_objective,
                                                     period_runs_for_grid)
 
-        y0 = sepaihrd.runup_seeded_state(params, None)
-        y0_pad = jnp.zeros((11, 8), dtype).at[:, 0:4].set(y0).reshape(88)
-        y0_all = jnp.tile(y0_pad[:, None], (1, B))
+        # sublane-packed layout (ages 0-3 = chain-half A, 4-7 = half B);
+        # all chains share the base y0/params, so pack by duplication
+        B2 = B // 2
+        y0 = sepaihrd.runup_seeded_state(params, None)       # (11, 4)
+        y0_rows = jnp.concatenate([jnp.concatenate([y0[c], y0[c]])
+                                   for c in range(11)])      # (88,)
+        y0_all = jnp.tile(y0_rows[:, None], (1, B2))
         invN = jnp.asarray(np.where(np.asarray(params.N) > 1e-9,
                                     1.0 / np.asarray(params.N), 0.0), dtype)
-        rows = jnp.concatenate([
+        groups = [jnp.concatenate([v, v]) for v in (
             params.a, params.h_infec * invN, params.p, params.h, params.icu,
-            params.d_H, params.d_ICU, params.d_community,
-            jnp.stack([params.theta, params.sigma, params.gamma_p,
-                       params.gamma_A, params.gamma_I, params.gamma_H,
-                       params.gamma_ICU])])
-        rows_all = jnp.tile(rows[:, None], (1, B))
+            params.d_H, params.d_ICU, params.d_community)]
+        groups += [jnp.full((8,), s, dtype) for s in (
+            params.theta, params.sigma, params.gamma_p, params.gamma_A,
+            params.gamma_I, params.gamma_H, params.gamma_ICU)]
+        rows_all = jnp.tile(jnp.concatenate(groups)[:, None], (1, B2))
         runs = period_runs_for_grid(np.asarray(ts),
                                     np.asarray(params.beta_end_times),
                                     np.asarray(params.kappa_end_times))
-        bv = jnp.zeros((SCHED_ROWS,), dtype).at[
-            :params.beta_values.shape[-1]].set(params.beta_values)
-        kv = jnp.ones((SCHED_ROWS,), dtype).at[
-            :params.kappa_values.shape[-1]].set(params.kappa_values)
-        obs1 = jnp.zeros((1, 4), dtype)
-        Mj = jnp.asarray(params.M_baseline, dtype)
+        n_runs = len(runs)
+        bvn = np.asarray(params.beta_values, np.float64)
+        kvn = np.asarray(params.kappa_values, np.float64)
+        base_be = jnp.asarray(
+            [bvn[pb] * (kvn[pk] if len(kvn) else 1.0)
+             for pb, pk, _, _ in runs], dtype)               # (n_runs,)
+        obs1 = jnp.zeros((1, 8), dtype)
+        tables = ((obs1, obs1),) * 3
+        Mnp = np.asarray(params.M_baseline, np.float64)
+        M2 = jnp.asarray(np.block([[Mnp, np.zeros_like(Mnp)],
+                                   [np.zeros_like(Mnp), Mnp]]), dtype)
 
         def pallas_solve(scale):
-            bvals = bv[:, None] * scale[None, :]
-            kvals = jnp.tile(kv[:, None], (1, B))
-            return fused_objective(y0_all, rows_all, bvals, kvals, Mj,
-                                   (obs1, obs1, obs1), (obs1, obs1, obs1),
-                                   runup_offset=DAYS, period_runs=runs,
-                                   substeps=SUBSTEPS, block_b=2048)
+            beA = base_be[:, None] * scale[None, :B2]
+            beB = base_be[:, None] * scale[None, B2:]
+            sched = jnp.stack([beA, beB], 1).reshape(2 * n_runs, B2)
+            sched = jnp.concatenate(
+                [sched, jnp.zeros((_sched_rows(n_runs) - 2 * n_runs, B2),
+                                  dtype)])
+            out = fused_objective(y0_all, rows_all, sched, M2, tables,
+                                  tables, runup_offset=DAYS,
+                                  period_runs=runs, substeps=SUBSTEPS,
+                                  block_lanes=1024)
+            return out
 
         STEPS = 10
 

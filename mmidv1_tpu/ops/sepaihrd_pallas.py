@@ -1,23 +1,39 @@
 """Pallas TPU kernel: the fused SEPAIHRD objective (solve + Poisson fold).
 
-Why a kernel (measured on TPU v5e, see OPS_ANALYSIS.md at the repo root): the
+Why a kernel (measured on TPU, see OPS_ANALYSIS.md at the repo root): the
 XLA scan keeps the ensemble state in HBM between the ~25 RHS/axpy kernels of
 each daily interval — tens of GB of HBM round-trips per 8192-chain 365-day
-solve, which bounds the measured wall time (~53 ms) while the VPU compute
-itself needs ~15 ms. This kernel runs the ENTIRE fixed-grid Dopri5 integration
-and Poisson log-likelihood fold inside one ``pallas_call``: the per-chain
-state stays in VMEM across all 365 x substeps x 7 stages; HBM traffic drops to
-one read of the inputs.
+solve. This kernel runs the ENTIRE fixed-grid Dopri5 integration and Poisson
+log-likelihood fold inside one ``pallas_call``: the per-chain state stays in
+VMEM across all 365 x substeps x 7 stages; HBM traffic drops to one read of
+the inputs.
 
 Layout notes (they ARE the performance):
-- chains ride the lane dimension (trailing axis), compartments are ELEVEN
-  SEPARATE (4, B_tile) blocks carried as a tuple through the time loop — a
-  single (44, B) array would put compartment boundaries at non-8-aligned
-  sublane offsets and every stage slice/concat would lower to cross-tile
-  shuffles (measured 11x SLOWER than XLA; the tuple layout never slices).
-- observations are per-stream (T_obs, 4) tables (deaths / hosp / icu,
-  premultiplied by their validity mask); the per-day Poisson pairing
-  sum_age obs * log(inc) is a (1,4)@(4,Bt) contraction per stream.
+
+- chains ride the lane dimension (trailing axis); compartments are ELEVEN
+  SEPARATE blocks carried as a tuple through the time loop — a single
+  (44, B) array would put compartment boundaries at non-8-aligned sublane
+  offsets and every stage slice/concat would lower to cross-tile shuffles
+  (measured 11x SLOWER than XLA; the tuple layout never slices).
+- **sublane packing**: an f32 vreg is (8 sublanes, 128 lanes) but the model
+  has only 4 age groups, so a naive (4, B) block leaves half of every vector
+  register empty. The batch is therefore split in two halves and packed into
+  the 8 sublanes: rows 0-3 = ages of chain-half A, rows 4-7 = ages of
+  chain-half B, giving (8, B/2) fully-occupied blocks. Measured ~1.9x on the
+  in-scan kernel time vs the unpacked (4, B) layout (OPS_ANALYSIS.md).
+  Per-chain scalars are duplicated across their half's 4 sublanes at prep
+  time; the contact matvec becomes a blockdiag(M, M) (8,8)x(8,B/2) dot; the
+  per-day Poisson pairing uses (2,8)@(8,B/2) contractions whose two output
+  rows are the two chain halves.
+- observations are per-stream (T_obs, 8) top/bottom tables (deaths / hosp /
+  icu, premultiplied by their validity mask): ``top`` rows are [obs | 0],
+  ``bottom`` rows [0 | obs], so a day's (2, 8) pairing matrix is two
+  (1, 8) dynamic-row slices and one concat, never a sublane shuffle of the
+  state.
+- beta(t)*kappa(t)*scaling is folded per STATIC schedule run at prep time
+  (schedule breakpoints are fixed file constants): one (2*n_runs, B/2) table,
+  expanded to an (8, B/2) broadcast once per run inside the kernel instead of
+  a per-chain (T-1, B) table materialized in HBM.
 
 Semantics are identical to
 :func:`mmidv1_tpu.calibration.objective.build_objective` (the hot path of the
@@ -39,9 +55,14 @@ import numpy as np
 from .. import constants as C
 from ..ode.tableaus import get_tableau
 
-# per-chain parameter block rows: 8 age vectors then 7 scalars
-_AGE_VEC_ROWS = 8 * 4
-N_PARAM_ROWS = _AGE_VEC_ROWS + 7   # 39
+# packed per-chain parameter block rows: 8 age-vector groups + 7 scalar
+# groups, each an (8, B/2) row-group (rows 0-3 half-A, 4-7 half-B)
+N_PARAM_GROUPS = 15
+N_PARAM_ROWS = 8 * N_PARAM_GROUPS          # 120
+
+_PARAM_ORDER = ("a", "hinfN", "p", "h", "icu", "d_H", "d_ICU", "d_community",
+                "theta", "sigma", "gamma_p", "gamma_A", "gamma_I", "gamma_H",
+                "gamma_ICU")
 
 _EPS = C.POISSON_EPSILON
 
@@ -50,14 +71,14 @@ _S, _E, _P, _A, _I, _H, _ICU, _R, _D, _CUMH, _CUMICU = range(11)
 
 
 def _rhs(y, prm, M):
-    """dy/dt; ``y`` is a tuple of 11 (4, Bt) blocks, ``prm`` a dict of
-    parameter blocks, ``M`` the (4, 4) contact matrix."""
+    """dy/dt; ``y`` is a tuple of 11 (8, Bt) packed blocks, ``prm`` a dict of
+    (8, Bt) parameter blocks, ``M`` the (8, 8) blockdiag contact matrix."""
     S, E, Pc, A, I, H, ICU = (y[_S], y[_E], y[_P], y[_A], y[_I], y[_H],
                               y[_ICU])
-    ip = (Pc + A + prm["theta"] * I) * prm["hinfN"]          # (4, Bt)
+    ip = (Pc + A + prm["theta"] * I) * prm["hinfN"]          # (8, Bt)
     # exact f32 contraction (TPU MXU f32 matmuls multiply in bf16 by default)
     lam = jnp.dot(M, ip, preferred_element_type=ip.dtype,
-                  precision=jax.lax.Precision.HIGHEST)       # (4, Bt)
+                  precision=jax.lax.Precision.HIGHEST)       # (8, Bt)
     lam = jnp.maximum(prm["beta"] * (prm["a"] * lam), 0.0)
 
     fSE = lam * S
@@ -119,37 +140,36 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             k = ks[-1] if fsal else _rhs(y, prm, M)
         return y
 
-    def kernel(y0_ref, params_ref, bv_ref, kv_ref, M_ref,
-               obs_d_ref, obs_h_ref, obs_i_ref,
-               val_d_ref, val_h_ref, val_i_ref, ll_ref):
+    def kernel(y0_ref, params_ref, sched_ref, M_ref,
+               od_t_ref, od_b_ref, oh_t_ref, oh_b_ref, oi_t_ref, oi_b_ref,
+               vd_t_ref, vd_b_ref, vh_t_ref, vh_b_ref, vi_t_ref, vi_b_ref,
+               ll_ref):
         from jax.experimental import pallas as pl
 
-        M = M_ref[0:4, 0:4]
-        Pblk = params_ref[:]                                 # (39, Bt)
-        prm = {
-            "a": Pblk[0:4], "hinfN": Pblk[4:8], "p": Pblk[8:12],
-            "h": Pblk[12:16], "icu": Pblk[16:20], "d_H": Pblk[20:24],
-            "d_ICU": Pblk[24:28], "d_community": Pblk[28:32],
-            "theta": Pblk[32:33], "sigma": Pblk[33:34],
-            "gamma_p": Pblk[34:35], "gamma_A": Pblk[35:36],
-            "gamma_I": Pblk[36:37], "gamma_H": Pblk[37:38],
-            "gamma_ICU": Pblk[38:39],
-        }
-        # one-time unpack of the (4, Bt) compartment blocks: y0_ref is
-        # (88, Bt) with each compartment 8-row aligned (rows 8c..8c+3)
-        y = tuple(y0_ref[8 * c: 8 * c + 4] for c in range(11))
+        M = M_ref[0:8, 0:8]
+        Pblk = params_ref[:]                                 # (120, Bt)
+        prm = {name: Pblk[8 * g: 8 * g + 8]
+               for g, name in enumerate(_PARAM_ORDER)}
+        # one-time unpack of the (8, Bt) compartment blocks: y0_ref is
+        # (88, Bt) with compartment c at rows 8c..8c+7 (tile-aligned)
+        y = tuple(y0_ref[8 * c: 8 * c + 8] for c in range(11))
         prev = (y[_D], y[_CUMH], y[_CUMICU])
-        ll0 = jnp.zeros_like(y[0][0:1])                      # (1, Bt)
+        ll0 = jnp.zeros_like(y[0][0:2])                      # (2, Bt)
         dt_ = y[0].dtype
+        hi = jax.lax.Precision.HIGHEST   # bf16 multiplies would inject
+        streams = ((od_t_ref, od_b_ref, vd_t_ref, vd_b_ref),   # O(10) LL noise
+                   (oh_t_ref, oh_b_ref, vh_t_ref, vh_b_ref),
+                   (oi_t_ref, oi_b_ref, vi_t_ref, vi_b_ref))
 
-        def poisson(ov_ref, v_ref, jc, inc):
-            ov = ov_ref[pl.ds(jc, 1), :]                     # (1, 4)
-            v = v_ref[pl.ds(jc, 1), :]
-            hi = jax.lax.Precision.HIGHEST   # bf16 multiplies would inject
-            return (jnp.dot(ov, jnp.log(inc),                # O(10) LL noise
+        def poisson(ot_ref, ob_ref, vt_ref, vb_ref, jc, inc):
+            O = jnp.concatenate([ot_ref[pl.ds(jc, 1), :],
+                                 ob_ref[pl.ds(jc, 1), :]], axis=0)  # (2, 8)
+            V = jnp.concatenate([vt_ref[pl.ds(jc, 1), :],
+                                 vb_ref[pl.ds(jc, 1), :]], axis=0)
+            return (jnp.dot(O, jnp.log(inc),
                             preferred_element_type=dt_, precision=hi)
-                    - jnp.dot(v, inc, preferred_element_type=dt_,
-                              precision=hi))
+                    - jnp.dot(V, inc, preferred_element_type=dt_,
+                              precision=hi))                       # (2, Bt)
 
         def interval(t, carry, beta):
             y, prev, ll, comp = carry
@@ -159,13 +179,11 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             in_obs = jnp.logical_and(j >= 0, j < T_obs)
             jc = jnp.clip(j, 0, T_obs - 1)
             term = ll * 0.0
-            for refs, pv, cv in ((0, prev[0], cur[0]), (1, prev[1], cur[1]),
-                                 (2, prev[2], cur[2])):
-                inc = jnp.maximum(cv - pv, 0.0) + _EPS       # (4, Bt)
-                ov_ref, v_ref = ((obs_d_ref, val_d_ref),
-                                 (obs_h_ref, val_h_ref),
-                                 (obs_i_ref, val_i_ref))[refs]
-                term = term + poisson(ov_ref, v_ref, jc, inc)
+            for s, (pv, cv) in enumerate(((prev[0], cur[0]),
+                                          (prev[1], cur[1]),
+                                          (prev[2], cur[2]))):
+                inc = jnp.maximum(cv - pv, 0.0) + _EPS             # (8, Bt)
+                term = term + poisson(*streams[s], jc, inc)
             # Kahan-compensated accumulation (see build_objective's fold)
             contrib = jnp.where(in_obs, term, 0.0) - comp
             ll_new = ll + contrib
@@ -173,26 +191,23 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             return y, cur, ll_new, comp
 
         if runup_offset == 0:
-            inc0 = jnp.full_like(prev[0], _EPS)
-            for ov_ref, v_ref in ((obs_d_ref, val_d_ref),
-                                  (obs_h_ref, val_h_ref),
-                                  (obs_i_ref, val_i_ref)):
-                ov = ov_ref[0:1, :]
-                v = v_ref[0:1, :]
-                hi = jax.lax.Precision.HIGHEST
-                ll0 = ll0 + (jnp.dot(ov, jnp.log(inc0),
-                                     preferred_element_type=dt_, precision=hi)
-                             - jnp.dot(v, inc0, preferred_element_type=dt_,
-                                       precision=hi))
+            inc0 = jnp.full_like(y[0], _EPS)
+            zero = jnp.zeros((), dtype=jnp.int32)
+            for s in range(3):
+                ll0 = ll0 + poisson(*streams[s], zero, inc0)
 
         # The daily intervals are grouped into STATIC runs of constant
         # (beta period, kappa period) — schedule breakpoints are fixed file
-        # constants, so beta(t)*kappa(t) is one (1, Bt) multiply per run
-        # instead of a per-chain (T-1, B) table materialized in HBM (that
-        # table's construction + relayout dominated the objective's cost).
+        # constants; sched_ref row 2r / 2r+1 hold run r's effective
+        # beta*kappa*scaling for chain halves A / B, expanded to one (8, Bt)
+        # broadcast per run.
         carry = (y, prev, ll0, jnp.zeros_like(ll0))
-        for pb, pk, start, count in period_runs:
-            beta = bv_ref[pb:pb + 1, :] * kv_ref[pk:pk + 1, :]
+        for r, (_pb, _pk, start, count) in enumerate(period_runs):
+            bA = sched_ref[2 * r: 2 * r + 1, :]
+            bB = sched_ref[2 * r + 1: 2 * r + 2, :]
+            beta = jnp.concatenate([
+                jnp.broadcast_to(bA, (4,) + bA.shape[1:]),
+                jnp.broadcast_to(bB, (4,) + bB.shape[1:])], axis=0)
             carry = jax.lax.fori_loop(
                 start, start + count,
                 lambda t, c, beta=beta: interval(t, c, beta), carry)
@@ -229,74 +244,83 @@ def period_runs_for_grid(ts, beta_end_times, kappa_end_times):
     return tuple(runs)
 
 
-SCHED_ROWS = 8   # beta/kappa value rows padded to one sublane tile
+def _sched_rows(n_runs: int) -> int:
+    return -(-2 * n_runs // 8) * 8
 
 
 @functools.partial(jax.jit, static_argnames=("runup_offset", "period_runs",
-                                             "substeps", "tableau", "block_b",
-                                             "interpret"))
-def fused_objective(y0_pad, param_rows, bvals, kvals, M, obs_streams,
-                    valid_streams, *, runup_offset: int, period_runs,
+                                             "substeps", "tableau",
+                                             "block_lanes", "interpret"))
+def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_tables,
+                    valid_tables, *, runup_offset: int, period_runs,
                     substeps: int = 4, tableau: str = "dopri5",
-                    block_b: int = 512, interpret: bool = False):
-    """Run the fused solve+fold kernel.
+                    block_lanes: int = 256, interpret: bool = False):
+    """Run the fused solve+fold kernel on sublane-packed inputs.
 
-    Args (B = global batch; trailing-batch layout):
-      y0_pad:        (88, B) initial states, compartment c at rows 8c..8c+3
-                     (8-row alignment so in-kernel unpacking is tile-aligned)
-      param_rows:    (39, B) per-chain parameter block
-      bvals:         (8, B) per-chain beta period values * scaling (row p =
-                     period p; unused rows arbitrary)
-      kvals:         (8, B) per-chain kappa period values (ones when no NPI)
-      M:             (4, 4) contact matrix (shared)
-      obs_streams:   3 x (T_obs, 4) observations*valid: (deaths, hosp, icu)
-      valid_streams: 3 x (T_obs, 4) validity masks
-      period_runs:   static tuple from :func:`period_runs_for_grid`
+    Args (B2 = half the padded chain batch; lanes hold chains, sublanes 0-3
+    hold chain-half A's ages, sublanes 4-7 chain-half B's):
+      y0_pack:      (88, B2) initial states, compartment c at rows 8c..8c+7
+      param_pack:   (120, B2) parameter block: 8 age-vector groups then 7
+                    scalar groups (scalars duplicated across their half's
+                    4 sublanes), group g at rows 8g..8g+7
+      sched_pack:   (_sched_rows(n_runs), B2) effective per-run
+                    beta*kappa*scaling; rows 2r / 2r+1 = run r, halves A / B
+      M2:           (8, 8) blockdiag(M, M) contact matrix (shared)
+      obs_tables:   3 streams x (top, bottom) (T_obs, 8) observations*valid
+                    in order deaths, hosp, icu; top rows [obs | 0],
+                    bottom rows [0 | obs]
+      valid_tables: same structure for the validity masks
+      period_runs:  static tuple from :func:`period_runs_for_grid`
 
-    Returns (B,) log-likelihoods (caller applies infeasibility masking).
+    Returns (2, B2) log-likelihoods — row 0 = chain half A, row 1 = half B
+    (caller flattens and applies infeasibility masking).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    dtype = y0_pad.dtype
-    B = y0_pad.shape[1]
+    dtype = y0_pack.dtype
+    B2 = y0_pack.shape[1]
+    T_obs = obs_tables[0][0].shape[0]
+    if B2 % block_lanes != 0:
+        raise ValueError(f"lane batch {B2} not divisible by block_lanes "
+                         f"{block_lanes}")
     T = 1 + sum(r[3] for r in period_runs)
-    T_obs = obs_streams[0].shape[0]
-    if B % block_b != 0:
-        raise ValueError(f"batch {B} not divisible by block_b {block_b}")
 
     kernel = _make_kernel(T, T_obs, runup_offset, substeps, tableau,
                           period_runs)
-    grid = (B // block_b,)
-    tile = lambda rows: pl.BlockSpec((rows, block_b), lambda i: (0, i),
+    grid = (B2 // block_lanes,)
+    tile = lambda rows: pl.BlockSpec((rows, block_lanes), lambda i: (0, i),
                                      memory_space=pltpu.VMEM)
     rep = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
                                     memory_space=pltpu.VMEM)
 
+    (od_t, od_b), (oh_t, oh_b), (oi_t, oi_b) = obs_tables
+    (vd_t, vd_b), (vh_t, vh_b), (vi_t, vi_b) = valid_tables
     ll = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tile(88), tile(N_PARAM_ROWS), tile(SCHED_ROWS),
-                  tile(SCHED_ROWS), rep(4, 4),
-                  rep(T_obs, 4), rep(T_obs, 4), rep(T_obs, 4),
-                  rep(T_obs, 4), rep(T_obs, 4), rep(T_obs, 4)],
-        out_specs=tile(1),
-        out_shape=jax.ShapeDtypeStruct((1, B), dtype),
+        in_specs=[tile(88), tile(N_PARAM_ROWS), tile(sched_pack.shape[0]),
+                  rep(8, 8)] + [rep(T_obs, 8)] * 12,
+        out_specs=tile(2),
+        out_shape=jax.ShapeDtypeStruct((2, B2), dtype),
         interpret=interpret,
-    )(y0_pad, param_rows, bvals, kvals, M, *obs_streams, *valid_streams)
-    return ll[0]
+    )(y0_pack, param_pack, sched_pack, M2,
+      od_t, od_b, oh_t, oh_b, oi_t, oi_b,
+      vd_t, vd_b, vh_t, vh_b, vi_t, vi_b)
+    return ll
 
 
 def build_objective_pallas(space, base_params, data, ts, *,
                            base_initial_state=None, substeps: int = 4,
                            tableau: str = "dopri5", constraint_mode="reflect",
-                           dtype=None, block_b: int = 512,
+                           dtype=None, block_b: int = 2048,
                            interpret: bool = False):
     """Batched objective ``loglik_batch(thetas (B, d)) -> (B,)`` backed by the
     Pallas kernel; drop-in for ``jax.vmap(build_objective(...))`` (parity
     tested). The theta -> params scatter, constraint, initial-state, and
-    schedule evaluation stay in XLA (negligible); the solve+fold runs in the
-    kernel.
+    schedule evaluation stay in XLA (measured ~10% of the step); the
+    solve+fold runs in the kernel. ``block_b`` counts CHAINS per kernel block
+    (two sublane-packed halves of ``block_b // 2`` lanes each).
     """
     from ..calibration.objective import lowest
     from ..models import sepaihrd
@@ -316,19 +340,28 @@ def build_objective_pallas(space, base_params, data, ts, *,
             gamma_A=base_params.gamma_A, gamma_I=base_params.gamma_I,
             p=base_params.p, h=base_params.h)
     base_y0 = jnp.asarray(base_initial_state, dtype=dtype)
-    period_runs = period_runs_for_grid(ts, np.asarray(base_params.beta_end_times),
+    period_runs = period_runs_for_grid(ts,
+                                       np.asarray(base_params.beta_end_times),
                                        np.asarray(base_params.kappa_end_times))
+    n_runs = len(period_runs)
 
-    def stream(x):
+    def stream_tables(x):
         x = np.asarray(x, dtype=np.float64)
         valid = (np.isfinite(x) & (x >= 0)).astype(np.float64)
-        return (jnp.asarray(np.where(valid > 0, x, 0.0) * valid, dtype=dtype),
-                jnp.asarray(valid, dtype=dtype))
+        ov = np.where(valid > 0, x, 0.0) * valid
+        z = np.zeros_like(ov)
+        pack = lambda a: (jnp.asarray(np.concatenate([a, z], axis=1), dtype=dtype),
+                          jnp.asarray(np.concatenate([z, a], axis=1), dtype=dtype))
+        return pack(ov), pack(valid)
 
-    obs_d, val_d = stream(data.new_deaths)
-    obs_h, val_h = stream(data.new_hospitalizations)
-    obs_i, val_i = stream(data.new_icu)
-    M = jnp.asarray(base_params.M_baseline, dtype=dtype)
+    (obs_d, val_d) = stream_tables(data.new_deaths)
+    (obs_h, val_h) = stream_tables(data.new_hospitalizations)
+    (obs_i, val_i) = stream_tables(data.new_icu)
+    obs_tables = (obs_d, obs_h, obs_i)
+    valid_tables = (val_d, val_h, val_i)
+    Mnp = np.asarray(base_params.M_baseline, dtype=np.float64)
+    M2 = jnp.asarray(np.block([[Mnp, np.zeros_like(Mnp)],
+                               [np.zeros_like(Mnp), Mnp]]), dtype=dtype)
 
     invN = np.where(np.asarray(base_params.N) > C.MIN_POPULATION_FOR_DIVISION,
                     1.0 / np.asarray(base_params.N), 0.0)
@@ -338,40 +371,63 @@ def build_objective_pallas(space, base_params, data, ts, *,
         theta = space.constrain(theta.astype(dtype), constraint_mode)
         params = space.apply(base_params, theta)
         y0, infeasible = sepaihrd.initial_state_for_params(params, base_y0)
-        # rows 8c..8c+3 hold compartment c's 4 ages (8-row alignment)
-        y0_pad = jnp.zeros((11, 8), dtype=dtype).at[:, 0:4].set(y0)
-        y0_pad = y0_pad.reshape(88)
-        # per-period schedule value rows (scaling folded into beta)
+        y0 = y0.reshape(-1)                                  # (44,)
+        agevec = jnp.concatenate([
+            params.a, params.h_infec * invN, params.p, params.h, params.icu,
+            params.d_H, params.d_ICU, params.d_community])   # (32,)
+        scal = jnp.stack([params.theta, params.sigma, params.gamma_p,
+                          params.gamma_A, params.gamma_I, params.gamma_H,
+                          params.gamma_ICU])                 # (7,)
         bsrc = (params.beta_values if params.beta_values.shape[-1]
                 else params.beta[None])
-        bvals = jnp.zeros((SCHED_ROWS,), dtype=dtype).at[
-            :bsrc.shape[-1]].set(bsrc * params.contact_matrix_scaling_factor)
+        bsrc = bsrc * params.contact_matrix_scaling_factor
         ksrc = (params.kappa_values if params.kappa_values.shape[-1]
                 else jnp.ones((1,), dtype=dtype))
-        kvals = jnp.ones((SCHED_ROWS,), dtype=dtype).at[
-            :ksrc.shape[-1]].set(ksrc)
-        rows = jnp.concatenate([
-            params.a, params.h_infec * invN, params.p, params.h, params.icu,
-            params.d_H, params.d_ICU, params.d_community,
-            jnp.stack([params.theta, params.sigma, params.gamma_p,
-                       params.gamma_A, params.gamma_I, params.gamma_H,
-                       params.gamma_ICU]),
-        ])
-        return y0_pad, rows, bvals, kvals, infeasible
+        beff = jnp.stack([bsrc[pb] * ksrc[pk]
+                          for pb, pk, _, _ in period_runs])  # (n_runs,)
+        return y0, agevec, scal, beff, infeasible
+
+    prep_half = jax.vmap(prep_one, out_axes=(-1, -1, -1, -1, 0))
 
     @jax.jit
     def loglik_batch(thetas):
+        B = thetas.shape[0]
+        lanes = max(1, min(block_b, B) // 2)
+        half = -(-B // 2)
+        B2 = -(-half // lanes) * lanes
+        pad = 2 * B2 - B
+        if pad:
+            thetas = jnp.concatenate(
+                [thetas, jnp.broadcast_to(thetas[:1], (pad,) + thetas.shape[1:])])
         # out_axes=-1 emits the kernel's trailing-batch layout directly
         # (an explicit .T costs ~ms at 8192 chains)
-        y0, rows, bvals, kvals, infeasible = jax.vmap(
-            prep_one, out_axes=(-1, -1, -1, -1, 0))(thetas)
-        ll = fused_objective(y0, rows, bvals, kvals, M,
-                             (obs_d, obs_h, obs_i), (val_d, val_h, val_i),
-                             runup_offset=runup_offset,
-                             period_runs=period_runs, substeps=substeps,
-                             tableau=tableau,
-                             block_b=min(block_b, thetas.shape[0]),
-                             interpret=interpret)
+        yA, avA, scA, beA, infA = prep_half(thetas[:B2])
+        yB, avB, scB, beB, infB = prep_half(thetas[B2:])
+
+        pieces = []
+        for c in range(11):
+            pieces += [yA[4 * c: 4 * c + 4], yB[4 * c: 4 * c + 4]]
+        y0_pack = jnp.concatenate(pieces)                    # (88, B2)
+        groups = []
+        for g in range(8):
+            groups += [avA[4 * g: 4 * g + 4], avB[4 * g: 4 * g + 4]]
+        for s in range(7):
+            groups += [jnp.broadcast_to(scA[s:s + 1], (4, B2)),
+                       jnp.broadcast_to(scB[s:s + 1], (4, B2))]
+        param_pack = jnp.concatenate(groups)                 # (120, B2)
+        sched = jnp.stack([beA, beB], axis=1).reshape(2 * n_runs, B2)
+        sched_pack = jnp.concatenate(
+            [sched, jnp.zeros((_sched_rows(n_runs) - 2 * n_runs, B2),
+                              dtype=sched.dtype)])
+
+        out = fused_objective(y0_pack, param_pack, sched_pack, M2,
+                              obs_tables, valid_tables,
+                              runup_offset=runup_offset,
+                              period_runs=period_runs, substeps=substeps,
+                              tableau=tableau, block_lanes=lanes,
+                              interpret=interpret)
+        ll = jnp.concatenate([out[0], out[1]])[:B]
+        infeasible = jnp.concatenate([infA, infB])[:B]
         bad = infeasible | jnp.isnan(ll) | jnp.isinf(ll)
         return jnp.where(bad, lowest(dtype), ll)
 
