@@ -71,6 +71,23 @@ def test_pallas_objective_no_runup(setup):
                                np.asarray(ll_x(theta)), rtol=1e-12)
 
 
+def test_pallas_odd_batch_padding(setup):
+    """The sublane-packed layout pads odd / non-block-divisible batches and
+    returns exactly B results in chain order."""
+    params, data, ts, space = setup
+    ll_x = jax.vmap(build_objective(space, params, data, ts, substeps=2,
+                                    constraint_mode=REFLECT))
+    theta0 = space.extract(params)
+    for B, bb in ((7, 4), (1, 2), (5, 64)):
+        thetas = theta0[None, :] + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(B), (B, space.dim), dtype=theta0.dtype)
+        ll_p = build_objective_pallas(space, params, data, ts, substeps=2,
+                                      constraint_mode=REFLECT, interpret=True,
+                                      block_b=bb)
+        np.testing.assert_allclose(np.asarray(ll_p(thetas)),
+                                   np.asarray(ll_x(thetas)), rtol=1e-12)
+
+
 def test_pallas_infeasible_masked(setup):
     """Multiplier-branch infeasibility returns lowest() like the XLA path."""
     params, data, ts, space = setup
