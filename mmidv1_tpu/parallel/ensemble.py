@@ -63,6 +63,7 @@ def run_mh_sharded(
     initial_cov: Optional[jnp.ndarray] = None,
     initial_state: Optional[MHState] = None,
     jitter: float = 1.0,
+    loglik_batch: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> MHResult:
     """Ensemble adaptive-Metropolis sharded over a ``chains`` mesh (shard_map).
 
@@ -70,7 +71,9 @@ def run_mh_sharded(
     mesh. Covariance adaptation and the final MAP reduction are collective
     (psum / all_gather); everything else is chain-local. ``initial_state``
     resumes a previous sharded run (its batch leaves must be mesh-sharded or
-    shard-shaped).
+    shard-shaped). ``loglik_batch`` is an optional batch-native objective
+    (e.g. the Pallas kernel, :func:`mmidv1_tpu.ops.build_objective_pallas`)
+    evaluated per device on its local chain shard.
     """
     if mesh is None:
         mesh = ensemble_mesh()
@@ -83,7 +86,8 @@ def run_mh_sharded(
         return run_mh(loglik, space, theta0, key, cfg, n_chains=b_local,
                       initial_cov=initial_cov, initial_state=initial_state,
                       jitter=jitter, axis_name=axis, n_total=n_chains,
-                      offset=dev * b_local, _jit=False)
+                      offset=dev * b_local, _jit=False,
+                      loglik_batch=loglik_batch)
 
     in_specs = (P(), P(), _mh_state_specs(axis) if initial_state is not None
                 else None)

@@ -168,3 +168,14 @@ def test_mh_sharded_on_sepaihrd_objective(spain_params):
     np.testing.assert_allclose(np.asarray(shd.samples), np.asarray(ref.samples),
                                rtol=1e-7, atol=1e-9)
     assert np.isfinite(np.asarray(shd.best_logp))
+
+    # Same run with the batch-native Pallas objective evaluated per shard
+    # (interpret mode on CPU): the production multi-chip configuration.
+    from mmidv1_tpu.ops import build_objective_pallas
+    ll_p = build_objective_pallas(space, params, data, ts, substeps=2,
+                                  constraint_mode=REFLECT, interpret=True,
+                                  block_b=2)
+    shd_p = run_mh_sharded(loglik, space, theta0, key, cfg, n_chains=16,
+                           mesh=ensemble_mesh(), loglik_batch=ll_p)
+    np.testing.assert_allclose(np.asarray(shd_p.samples),
+                               np.asarray(ref.samples), rtol=1e-7, atol=1e-9)
