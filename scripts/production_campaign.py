@@ -165,6 +165,14 @@ def main(argv=None) -> int:
     print(f"float64 MAP over {len(lls)} chains: {float(lls[k]):.8e} "
           f"({'BEATS' if lls[k] > REFERENCE_BEST_LL else 'below'} reference)")
 
+    # save the float64 MAP in the re-loadable initial-guess format so the
+    # hillmcmc polish / next campaign can warm-start from it directly
+    from mmidv1_tpu.data.config_io import save_calibration_results
+    map_params = space.apply(params64, cands[k])
+    save_calibration_results(
+        os.path.join(args.out, "calibrated_parameters.txt"), map_params,
+        list(space.names), float(lls[k]))
+
     meta = {"chains": args.chains, "iterations": args.iterations,
             "diagnostics": {"max_rhat": max(v["rhat"] for v in diag.values()),
                             "min_ess": min(v["ess"] for v in diag.values()),

@@ -80,3 +80,12 @@ def test_production_campaign_smoke(tmp_path):
     meta = json.loads((tmp_path / "campaign_metadata.json").read_text())
     assert meta["best_logl_float64"] > 1.0e6
     assert "max_rhat" in meta["diagnostics"]
+    # the float64 MAP must round-trip through the re-loadable params format
+    from mmidv1_tpu.data import read_sepaihrd_parameters
+    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+    assert (tmp_path / "calibrated_parameters.txt").exists()
+    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
+    reloaded = read_sepaihrd_parameters(
+        str(tmp_path / "calibrated_parameters.txt"), 4,
+        N=[1.0] * 4, M_baseline=M)
+    assert float(reloaded.beta_values[0]) > 0
