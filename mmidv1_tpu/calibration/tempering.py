@@ -80,8 +80,8 @@ class PTState(NamedTuple):
     log_scale: jnp.ndarray   # (K, N) per-chain Robbins-Monro log scale
     chol: jnp.ndarray        # (K, d, d) per-rung proposal Cholesky factors
     cov: jnp.ndarray         # (K, d, d)
-    best_x: jnp.ndarray      # (d,) global MAP over all rungs
-    best_logp: jnp.ndarray   # ()
+    best_x: jnp.ndarray      # (K, N, d) per-slot MAP (slot-attached: swap
+    best_logp: jnp.ndarray   # (K, N)     moves do NOT migrate the records)
     accept_count: jnp.ndarray   # (K, N)
     swap_accept: jnp.ndarray    # (K-1,) accepted swaps per adjacent pair
     swap_tries: jnp.ndarray     # (K-1,)
@@ -124,12 +124,11 @@ def init_pt_state(space: ParameterSpace, theta0: jnp.ndarray,
     cov = jnp.broadcast_to(cov1, (K, d, d))
     chol = jnp.broadcast_to(jnp.linalg.cholesky(cov1), (K, d, d))
 
-    i = jnp.argmax(logp0)
     return PTState(
         x=x0, logp=logp0,
         log_scale=jnp.zeros((K, N), dtype=dtype),
         chol=chol, cov=cov,
-        best_x=x0.reshape(K * N, d)[i], best_logp=logp0.reshape(-1)[i],
+        best_x=x0, best_logp=logp0,
         accept_count=jnp.zeros((K, N), dtype=jnp.int32),
         swap_accept=jnp.zeros((max(K - 1, 1),), dtype=jnp.int32),
         swap_tries=jnp.zeros((max(K - 1, 1),), dtype=jnp.int32),
@@ -161,11 +160,9 @@ def pt_mh_step(state: PTState, step_key: jax.Array, space: ParameterSpace,
     x = jnp.where(accept[..., None], proposal, state.x)
     logp = jnp.where(accept, logp_prop, state.logp)
 
-    flat_lp = logp.reshape(-1)
-    i = jnp.argmax(flat_lp)
-    better = flat_lp[i] > state.best_logp
-    best_x = jnp.where(better, x.reshape(K * N, d)[i], state.best_x)
-    best_logp = jnp.where(better, flat_lp[i], state.best_logp)
+    better = logp > state.best_logp
+    best_x = jnp.where(better[..., None], x, state.best_x)
+    best_logp = jnp.where(better, logp, state.best_logp)
 
     step = state.step + 1
     if cfg.adapt_scale:
@@ -257,7 +254,6 @@ def run_pt(
     if loglik_batch is None:
         loglik_batch = jax.vmap(loglik)
     dtype = jnp.asarray(theta0).dtype
-    betas = cfg.ladder(dtype)
     k_init, k_run = jax.random.split(key)
 
     if initial_state is not None:
@@ -268,6 +264,19 @@ def run_pt(
                                jitter=jitter, initial_cov=initial_cov,
                                reg_eps=cfg.regularization_epsilon)
 
+    run = make_pt_runner(space, cfg, loglik_batch, dtype=dtype)
+    return run(state0, k_run)
+
+
+def make_pt_runner(space: ParameterSpace, cfg: PTConfig,
+                   loglik_batch: Callable, *, dtype=None,
+                   jit: bool = True) -> Callable:
+    """Build the reusable jitted segment program ``(state0, key) -> PTResult``
+    (the PT analogue of :func:`mh.make_mh_runner`; campaign drivers running
+    many segments should build it once to avoid per-segment re-tracing)."""
+    if dtype is None:
+        dtype = jnp.float32
+    betas = cfg.ladder(dtype)
     thin = max(1, cfg.thinning)
     n_blocks = -(-cfg.iterations // thin)
     adapt_every_blocks = max(1, cfg.adaptation_period // thin)
@@ -296,15 +305,17 @@ def run_pt(
                              lambda s: s, state)
         return state, (state.x[0], state.logp[0])
 
-    @jax.jit
     def run(state0, k_run):
         keys = jax.random.split(k_run, n_blocks)
         state, (samples, logps) = jax.lax.scan(block, state0, keys)
+        K, N, d = state.x.shape
+        flat_lp = state.best_logp.reshape(-1)
+        i = jnp.argmax(flat_lp)
         return PTResult(
             samples=samples, sample_logps=logps,
-            best_x=state.best_x, best_logp=state.best_logp,
+            best_x=state.best_x.reshape(K * N, d)[i], best_logp=flat_lp[i],
             acceptance_rate=state.accept_count / jnp.maximum(state.step, 1),
             swap_rate=state.swap_accept / jnp.maximum(state.swap_tries, 1),
             final_state=state)
 
-    return run(state0, k_run)
+    return jax.jit(run) if jit else run

@@ -39,6 +39,26 @@ def load_mh_state(path: str) -> MHState:
         return MHState(**{k: jnp.asarray(z[k]) for k in MHState._fields})
 
 
+def save_pt_state(path: str, state) -> None:
+    """Save a tempering :class:`~mmidv1_tpu.calibration.tempering.PTState`
+    (same atomic npz pattern as :func:`save_mh_state`)."""
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **{k: np.asarray(v)
+                                for k, v in state._asdict().items()})
+    os.replace(tmp, path)
+
+
+def load_pt_state(path: str):
+    from ..calibration.tempering import PTState
+
+    with np.load(path) as z:
+        import jax.numpy as jnp
+        return PTState(**{k: jnp.asarray(z[k]) for k in PTState._fields})
+
+
 def write_posterior_trace(path: str, samples: np.ndarray,
                           logps: Optional[np.ndarray] = None,
                           names: Optional[Sequence[str]] = None,

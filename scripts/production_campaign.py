@@ -45,6 +45,12 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float64"],
                    help="float64 requires jax_enable_x64 (CPU smoke runs)")
+    p.add_argument("--rungs", type=int, default=1,
+                   help=">1 switches to replica-exchange (parallel "
+                        "tempering): --chains chains split over this many "
+                        "temperature rungs; posterior = the cold rung")
+    p.add_argument("--beta-min", type=float, default=0.05,
+                   help="hottest inverse temperature of the geometric ladder")
     args = p.parse_args(argv)
 
     import jax
@@ -115,14 +121,59 @@ def main(argv=None) -> int:
         print(f"warm covariance from {post_path} ({post.shape[0]} draws)")
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = MHConfig(iterations=args.iterations, burn_in=args.burn_in,
-                   adaptation_period=100, thinning=args.thinning)
     t0 = time.perf_counter()
-    res = run_mh_checkpointed(
-        loglik, space, theta0, jax.random.PRNGKey(args.seed), cfg,
-        n_chains=args.chains, segments=args.segments,
-        checkpoint_path=os.path.join(args.out, "campaign_checkpoint.npz"),
-        initial_cov=initial_cov, loglik_batch=ll_batch)
+    swap_rate = None
+    if args.rungs > 1:
+        # replica-exchange campaign: --chains total slots split over the
+        # temperature ladder; the returned samples are the cold rung's
+        from mmidv1_tpu.calibration.tempering import (PTConfig, init_pt_state,
+                                                      make_pt_runner)
+        from mmidv1_tpu.utils.checkpoint import load_pt_state, save_pt_state
+
+        n_per_rung, rem = divmod(args.chains, args.rungs)
+        if rem:
+            raise SystemExit("--chains must divide evenly by --rungs")
+        per_segment = -(-args.iterations // args.segments)
+        pt_cfg = PTConfig(iterations=per_segment, burn_in=args.burn_in,
+                          adaptation_period=100, thinning=args.thinning,
+                          n_rungs=args.rungs, beta_min=args.beta_min)
+        ckpt = os.path.join(args.out, "campaign_checkpoint_pt.npz")
+        ll_b = ll_batch if ll_batch is not None else jax.jit(jax.vmap(loglik))
+        state, start = None, 0
+        if os.path.exists(ckpt):
+            state = load_pt_state(ckpt)
+            start = int(np.asarray(state.step)) // per_segment
+            print(f"resuming PT campaign at step {int(np.asarray(state.step))}")
+        runner = make_pt_runner(space, pt_cfg, ll_b, dtype=dtype)
+        all_s, all_lp, res = [], [], None
+        for s in range(start, args.segments):
+            k_init, k_run = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), s))
+            if state is None:
+                state = init_pt_state(space, theta0, ll_b, k_init,
+                                      n_rungs=args.rungs,
+                                      n_chains=n_per_rung,
+                                      initial_cov=initial_cov)
+            res = runner(state, k_run)
+            state = res.final_state
+            all_s.append(np.asarray(res.samples))
+            all_lp.append(np.asarray(res.sample_logps))
+            save_pt_state(ckpt, state)
+        if res is None:
+            raise SystemExit("PT checkpoint already covers all segments")
+        res = res._replace(
+            samples=jnp.asarray(np.concatenate(all_s, axis=0)),
+            sample_logps=jnp.asarray(np.concatenate(all_lp, axis=0)))
+        swap_rate = np.asarray(res.swap_rate)
+        print(f"swap rates per rung pair: {np.round(swap_rate, 3)}")
+    else:
+        cfg = MHConfig(iterations=args.iterations, burn_in=args.burn_in,
+                       adaptation_period=100, thinning=args.thinning)
+        res = run_mh_checkpointed(
+            loglik, space, theta0, jax.random.PRNGKey(args.seed), cfg,
+            n_chains=args.chains, segments=args.segments,
+            checkpoint_path=os.path.join(args.out, "campaign_checkpoint.npz"),
+            initial_cov=initial_cov, loglik_batch=ll_batch)
     wall = time.perf_counter() - t0
     steps = int(np.asarray(res.final_state.step)) * args.chains
     print(f"campaign: {args.iterations} iters x {args.chains} chains in "
@@ -137,7 +188,7 @@ def main(argv=None) -> int:
     # convergence diagnostics over a chain subset (host-side NumPy)
     from mmidv1_tpu.analysis.diagnostics import summarize
 
-    sub = samples[:, :: max(1, args.chains // 512), :]
+    sub = samples[:, :: max(1, samples.shape[1] // 512), :]
     diag = summarize(sub, list(space.names))
     print(f"convergence: max split-R-hat "
           f"{max(v['rhat'] for v in diag.values()):.3f}, min ESS "
@@ -159,7 +210,9 @@ def main(argv=None) -> int:
         lambda x: jnp64.asarray(np.asarray(x), jnp64.float64), params)
     ll64 = build_objective(space, params64, data, ts, substeps=args.substeps,
                            constraint_mode=REFLECT, dtype=jnp64.float64)
-    cands = jnp64.asarray(np.asarray(res.final_state.best_x), jnp64.float64)
+    cands = jnp64.asarray(
+        np.asarray(res.final_state.best_x).reshape(-1, space.dim),
+        jnp64.float64)
     lls = np.asarray(jax.jit(jax.vmap(ll64))(cands))
     k = int(np.argmax(lls))
     print(f"float64 MAP over {len(lls)} chains: {float(lls[k]):.8e} "
@@ -182,6 +235,9 @@ def main(argv=None) -> int:
             "best_logl_float64": float(lls[k]),
             "mean_acceptance": float(np.mean(np.asarray(res.acceptance_rate))),
             "stored_samples": int(samples.shape[0] * samples.shape[1]),
+            "rungs": args.rungs,
+            "swap_rate": (None if swap_rate is None
+                          else [float(x) for x in swap_rate]),
             "device": f"{dev.platform}/{dev.device_kind}", "seed": args.seed}
     with open(os.path.join(args.out, "campaign_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)

@@ -89,3 +89,30 @@ def test_production_campaign_smoke(tmp_path):
         str(tmp_path / "calibrated_parameters.txt"), 4,
         N=[1.0] * 4, M_baseline=M)
     assert float(reloaded.beta_values[0]) > 0
+
+
+@pytest.mark.slow
+def test_production_campaign_pt_smoke(tmp_path):
+    """The campaign driver's replica-exchange mode (--rungs > 1)."""
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import production_campaign
+
+    rc = production_campaign.main([
+        "--chains", "12", "--rungs", "3", "--iterations", "12",
+        "--segments", "2", "--burn-in", "2", "--thinning", "4",
+        "--substeps", "2", "--dtype", "float64",
+        "--out", str(tmp_path), "--skip-report"])
+    assert rc == 0
+    import json
+    meta = json.loads((tmp_path / "campaign_metadata.json").read_text())
+    assert meta["rungs"] == 3
+    assert len(meta["swap_rate"]) == 2
+    assert meta["best_logl_float64"] > 1.0e6
+    # the cold rung's stored samples have the per-rung width
+    import numpy as np
+    trace = (tmp_path / "posterior_trace.csv").read_text().splitlines()
+    assert len(trace) > 1
+    assert (tmp_path / "campaign_checkpoint_pt.npz").exists()
