@@ -4,7 +4,8 @@ See :mod:`mmidv1_tpu.parallel.mesh` for the design notes.
 """
 
 from . import multihost
-from .ensemble import run_mh_gspmd, run_mh_sharded, run_pso_sharded
+from .ensemble import (run_mh_gspmd, run_mh_sharded,
+                       run_pso_sharded, run_pt_gspmd)
 from .mesh import (CHAINS_AXIS, batch_sharding, check_divisible, ensemble_mesh,
                    replicated_sharding, shard_ensemble_pytree)
 
@@ -18,5 +19,6 @@ __all__ = [
     "run_mh_gspmd",
     "run_mh_sharded",
     "run_pso_sharded",
+    "run_pt_gspmd",
     "multihost",
 ]

@@ -172,3 +172,59 @@ def run_pso_sharded(
                                    axis_name=mesh.axis_names[0])
     return run_pso(loglik, space, key, cfg, theta0=theta0, dtype=dtype,
                    initial_state=state0)
+
+
+def run_pt_gspmd(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    theta0: jnp.ndarray,
+    key: jax.Array,
+    cfg,
+    *,
+    n_chains: int,
+    mesh: Optional[Mesh] = None,
+    initial_cov: Optional[jnp.ndarray] = None,
+    jitter: float = 1.0,
+    loglik_batch: Optional[Callable] = None,
+):
+    """Replica-exchange sampler with the CHAIN axis sharded over the mesh
+    (GSPMD; the rung axis is replicated).
+
+    Tempering is mesh-friendly by construction: swap moves exchange rung
+    rows chain-column-wise (elementwise in the sharded axis — zero
+    communication), per-rung covariance re-estimation contracts over the
+    chain axis (XLA inserts the psum), and only the tiny (K, d, d)
+    covariance state is replicated. ``n_chains`` is the per-rung chain
+    count and must divide over the mesh.
+    """
+    from jax.sharding import NamedSharding
+    from ..calibration.tempering import PTConfig, init_pt_state, run_pt
+
+    if mesh is None:
+        mesh = ensemble_mesh()
+    check_divisible(n_chains, mesh, "n_chains")
+    axis = mesh.axis_names[0]
+    if loglik_batch is None:
+        loglik_batch = jax.vmap(loglik)
+
+    # Mirror run_pt's internal key split so a GSPMD run with `key` consumes
+    # the same random stream as the unsharded run_pt(key).
+    k_init, _k_run = jax.random.split(key)
+    state0 = init_pt_state(space, jnp.asarray(theta0), loglik_batch, k_init,
+                           n_rungs=cfg.n_rungs, n_chains=n_chains,
+                           jitter=jitter, initial_cov=initial_cov,
+                           reg_eps=cfg.regularization_epsilon)
+
+    chain_axis_1 = NamedSharding(mesh, P(None, axis))
+    rep = NamedSharding(mesh, P())
+
+    def place(leaf):
+        a = jnp.asarray(leaf)
+        if a.ndim >= 2 and a.shape[0] == cfg.n_rungs and a.shape[1] == n_chains:
+            return jax.device_put(a, chain_axis_1)
+        return jax.device_put(a, rep)
+
+    state0 = jax.tree_util.tree_map(place, state0)
+    return run_pt(loglik, space, jnp.asarray(theta0), key, cfg,
+                  n_chains=n_chains, initial_state=state0,
+                  loglik_batch=loglik_batch)

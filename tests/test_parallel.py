@@ -133,6 +133,29 @@ def test_pso_sharded_matches_unsharded(gaussian_problem):
     np.testing.assert_allclose(np.asarray(shd.best_x), np.asarray(mu), atol=0.05)
 
 
+def test_pt_gspmd_matches_unsharded(gaussian_problem):
+    """Replica-exchange with the chain axis GSPMD-sharded over the mesh:
+    identical results to the unsharded run (swaps are chain-local; the
+    per-rung covariance contraction psums across shards)."""
+    from mmidv1_tpu.calibration.tempering import PTConfig, run_pt
+    from mmidv1_tpu.parallel import run_pt_gspmd
+
+    loglik, space, mu, sd = gaussian_problem
+    cfg = PTConfig(iterations=60, burn_in=10, adaptation_period=20, thinning=4,
+                   n_rungs=4, beta_min=0.1)
+    theta0 = jnp.zeros(3)
+    key = jax.random.PRNGKey(9)
+    ref = run_pt(loglik, space, theta0, key, cfg, n_chains=16)
+    shd = run_pt_gspmd(loglik, space, theta0, key, cfg, n_chains=16,
+                       mesh=ensemble_mesh())
+    np.testing.assert_allclose(np.asarray(shd.samples), np.asarray(ref.samples),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(shd.swap_rate),
+                               np.asarray(ref.swap_rate), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(shd.best_logp),
+                               np.asarray(ref.best_logp), rtol=1e-9)
+
+
 def test_mh_sharded_on_sepaihrd_objective(spain_params):
     """Sharded MCMC on the real (shortened) Spain-2020 SEPAIHRD objective."""
     from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
