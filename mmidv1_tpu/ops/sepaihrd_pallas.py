@@ -175,9 +175,12 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             y, prev, ll, comp = carry
             y = dopri_interval(y, dict(prm, beta=beta), M)
             cur = (y[_D], y[_CUMH], y[_CUMICU])
-            j = t + 1 - runup_offset
-            in_obs = jnp.logical_and(j >= 0, j < T_obs)
-            jc = jnp.clip(j, 0, T_obs - 1)
+            # i32 throughout: under jax_enable_x64 a bare Python-int literal
+            # is i64 and the i32 fori_loop index + i64 add fails Mosaic
+            # verification ('arith.addi' type mismatch)
+            j = t + jnp.int32(1 - runup_offset)
+            in_obs = jnp.logical_and(j >= 0, j < jnp.int32(T_obs))
+            jc = jnp.clip(j, jnp.int32(0), jnp.int32(T_obs - 1))
             term = ll * 0.0
             for s, (pv, cv) in enumerate(((prev[0], cur[0]),
                                           (prev[1], cur[1]),
@@ -209,7 +212,7 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                 jnp.broadcast_to(bA, (4,) + bA.shape[1:]),
                 jnp.broadcast_to(bB, (4,) + bB.shape[1:])], axis=0)
             carry = jax.lax.fori_loop(
-                start, start + count,
+                jnp.int32(start), jnp.int32(start + count),
                 lambda t, c, beta=beta: interval(t, c, beta), carry)
         _, _, ll, _comp = carry
         ll_ref[:] = ll
@@ -289,9 +292,12 @@ def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_tables,
     kernel = _make_kernel(T, T_obs, runup_offset, substeps, tableau,
                           period_runs)
     grid = (B2 // block_lanes,)
-    tile = lambda rows: pl.BlockSpec((rows, block_lanes), lambda i: (0, i),
+    # index-map constants derive from the grid index (i * 0, not literal 0):
+    # under jax_enable_x64 a literal 0 traces as i64 next to the i32 index
+    # and Mosaic rejects the mixed-type index map
+    tile = lambda rows: pl.BlockSpec((rows, block_lanes), lambda i: (i * 0, i),
                                      memory_space=pltpu.VMEM)
-    rep = lambda r, c: pl.BlockSpec((r, c), lambda i: (0, 0),
+    rep = lambda r, c: pl.BlockSpec((r, c), lambda i: (i * 0, i * 0),
                                     memory_space=pltpu.VMEM)
 
     (od_t, od_b), (oh_t, oh_b), (oi_t, oi_b) = obs_tables
