@@ -5,8 +5,9 @@ Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Primary metric: full 365-day Spain-2020 SEPAIHRD solves/sec/chip (vmapped,
-float32, fixed-grid Dopri5 with 4 substeps/day — the configuration whose
-trajectories match the C++ reference at rtol 1e-6, see PARITY.md).
+float32, fixed-grid Cash-Karp with 3 substeps/day — measured to match the
+DOP853 golden at 4.8e-7 max trajectory relerr, tighter than the dopri5@4
+config it replaces; see PARITY.md).
 ``vs_baseline`` is the ratio against the BASELINE.md north-star target of
 1e5 solves/sec/chip (the reference itself publishes no numbers; its harness
 metrics — µs/objective-eval, sampler wall time — are reported as secondary
@@ -78,7 +79,12 @@ def main():
     # 1) Primary: full 365-day solves/sec/chip (vmapped fused fold)
     # ------------------------------------------------------------------
     DAYS = 365
-    SUBSTEPS = 4
+    # cash_karp @ 3 substeps/day: trajectory parity vs the DOP853 golden
+    # 4.8e-7 (dopri5@4: 4.2e-7; bar 1e-6) and f64 LL integration error
+    # 8.4e-4 max (dopri5@4: 0.23) at 25% fewer RHS evals/day — measured
+    # 2026-08, see OPS_ANALYSIS.md "Tableau/substep sweep"
+    SUBSTEPS = 3
+    TABLEAU = "cash_karp"
     ts = jnp.arange(-20.0, DAYS - 20.0 + 1.0, dtype=dtype)   # 365 daily intervals
     y0 = sepaihrd.runup_seeded_state(params, None)
 
@@ -88,7 +94,7 @@ def main():
         f = lambda t, y, b: sepaihrd.rhs_frozen(t, y, p, b)
         fold = lambda acc, i, y: acc + y[8].sum()       # consume D row
         acc, _ = fold_times_fixed(f, y0, ts, fold, jnp.zeros((), dtype),
-                                  substeps=SUBSTEPS, method="dopri5",
+                                  substeps=SUBSTEPS, method=TABLEAU,
                                   interval_ctx=ctx)
         return acc
 
@@ -138,8 +144,7 @@ def main():
         base_be = jnp.asarray(
             [bvn[pb] * (kvn[pk] if len(kvn) else 1.0)
              for pb, pk, _, _ in runs], dtype)               # (n_runs,)
-        obs1 = jnp.zeros((1, 8), dtype)
-        tables = ((obs1, obs1),) * 3
+        tables = (jnp.zeros((1, 48), dtype), jnp.zeros((1, 48), dtype))
         Mnp = np.asarray(params.M_baseline, np.float64)
         M2 = jnp.asarray(np.block([[Mnp, np.zeros_like(Mnp)],
                                    [np.zeros_like(Mnp), Mnp]]), dtype)
@@ -152,9 +157,9 @@ def main():
                 [sched, jnp.zeros((_sched_rows(n_runs) - 2 * n_runs, B2),
                                   dtype)])
             out = fused_objective(y0_all, rows_all, sched, M2, tables,
-                                  tables, runup_offset=DAYS,
+                                  runup_offset=DAYS,
                                   period_runs=runs, substeps=SUBSTEPS,
-                                  block_lanes=1024)
+                                  tableau=TABLEAU, block_lanes=1024)
             return out
 
         STEPS = 10
@@ -194,7 +199,8 @@ def main():
     ts_cal = make_time_grid(float(np.asarray(params.runup_days)),
                             data.n_data_points)
     loglik = build_objective(space, params, data, ts_cal, substeps=SUBSTEPS,
-                             constraint_mode=REFLECT, dtype=dtype)
+                             tableau=TABLEAU, constraint_mode=REFLECT,
+                             dtype=dtype)
     theta0 = space.extract(params).astype(dtype)
 
     obj_batch = jax.jit(jax.vmap(loglik))
@@ -215,7 +221,7 @@ def main():
         from mmidv1_tpu.ops import build_objective_pallas
 
         ll_pallas = build_objective_pallas(
-            space, params, data, ts_cal, substeps=SUBSTEPS,
+            space, params, data, ts_cal, substeps=SUBSTEPS, tableau=TABLEAU,
             constraint_mode=REFLECT, dtype=dtype, block_b=2048)
         t0 = time.perf_counter()
         ll_pallas(thetas).block_until_ready()

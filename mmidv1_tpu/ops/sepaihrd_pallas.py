@@ -10,11 +10,13 @@ the inputs.
 
 Layout notes (they ARE the performance):
 
-- chains ride the lane dimension (trailing axis); compartments are ELEVEN
-  SEPARATE blocks carried as a tuple through the time loop — a single
-  (44, B) array would put compartment boundaries at non-8-aligned sublane
-  offsets and every stage slice/concat would lower to cross-tile shuffles
-  (measured 11x SLOWER than XLA; the tuple layout never slices).
+- chains ride the lane dimension (trailing axis); the state is ONE fused
+  (88, B/2) array whose eleven compartment blocks sit at TILE-ALIGNED
+  8-row offsets, so RHS slices are free views and every RK stage axpy is a
+  single whole-state op (~8% faster than a tuple of 11 blocks). The
+  original sin to avoid is the unpacked (44, B) layout: 4-row compartments
+  straddle sublane tiles and every slice/concat lowers to cross-tile
+  shuffles (measured 11x SLOWER than XLA).
 - **sublane packing**: an f32 vreg is (8 sublanes, 128 lanes) but the model
   has only 4 age groups, so a naive (4, B) block leaves half of every vector
   register empty. The batch is therefore split in two halves and packed into
@@ -25,11 +27,15 @@ Layout notes (they ARE the performance):
   time; the contact matvec becomes a blockdiag(M, M) (8,8)x(8,B/2) dot; the
   per-day Poisson pairing uses (2,8)@(8,B/2) contractions whose two output
   rows are the two chain halves.
-- observations are per-stream (T_obs, 8) top/bottom tables (deaths / hosp /
-  icu, premultiplied by their validity mask): ``top`` rows are [obs | 0],
-  ``bottom`` rows [0 | obs], so a day's (2, 8) pairing matrix is two
-  (1, 8) dynamic-row slices and one concat, never a sublane shuffle of the
-  state.
+- observations+validity masks live in ONE pair of fused (T_obs, 48)
+  top/bottom tables ([O_d | O_h | O_i | V_d | V_h | V_i] 8-col groups;
+  ``top`` rows [obs | 0] for chain-half A, ``bottom`` rows [0 | obs] for
+  half B), so a day's whole 3-stream Poisson pairing is two (1, 48)
+  dynamic-row slices, one concat, and ONE (2, 48) x (48, B/2) contraction
+  against [log incs; -incs] — never a sublane shuffle of the state, and one
+  tiny dot per day instead of six (the per-day fold machinery, not the RK
+  arithmetic, owned ~60% of the kernel step when it was 6 dots + 12 reads).
+  Runs that end before the observation window statically skip the fold.
 - beta(t)*kappa(t)*scaling is folded per STATIC schedule run at prep time
   (schedule breakpoints are fixed file constants): one (2*n_runs, B/2) table,
   expanded to an (8, B/2) broadcast once per run inside the kernel instead of
@@ -109,10 +115,6 @@ def _rhs(y, prm, M):
     )
 
 
-def _axpy(y, coef, k):
-    return tuple(yc + coef * kc for yc, kc in zip(y, k))
-
-
 def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                  tableau: str, period_runs):
     tab = get_tableau(tableau)
@@ -120,29 +122,38 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
     a_tab, b_tab, fsal = tab.a, tab.b, tab.fsal
     stages = tab.stages
 
-    def dopri_interval(y, prm, M):
-        k = _rhs(y, prm, M)
+    def _rhs88(y88, prm, M):
+        # every compartment row-block of the fused (88, Bt) state is
+        # tile-aligned (8 rows), so these slices are free views — the rule-1
+        # ban on a single state array was about the UNPACKED (44, B) layout
+        # whose 4-row compartments straddle sublane tiles
+        y = tuple(y88[8 * c: 8 * c + 8] for c in range(11))
+        return jnp.concatenate(_rhs(y, prm, M), axis=0)
+
+    def dopri_interval(y88, prm, M):
+        # fused-state RK: each stage/update axpy is ONE (88, Bt) op instead
+        # of 11 per-compartment ops (measured ~8% faster at cash_karp ss=3;
+        # numerically identical — same elementwise ops in the same order)
+        k = _rhs88(y88, prm, M)
         for _ in range(substeps):
             ks = [k]
             for i in range(1, stages):
-                yi = y
+                yi = y88
                 for j in range(i):
                     if a_tab[i, j] != 0.0:
                         # Python float: a NumPy f64 scalar would promote the
                         # f32 state to f64 under jax_enable_x64
-                        yi = _axpy(yi, float(h * a_tab[i, j]), ks[j])
-                ks.append(_rhs(yi, prm, M))
-            y_new = y
+                        yi = yi + float(h * a_tab[i, j]) * ks[j]
+                ks.append(_rhs88(yi, prm, M))
+            y_new = y88
             for i in range(stages):
                 if b_tab[i] != 0.0:
-                    y_new = _axpy(y_new, float(h * b_tab[i]), ks[i])
-            y = y_new
-            k = ks[-1] if fsal else _rhs(y, prm, M)
-        return y
+                    y_new = y_new + float(h * b_tab[i]) * ks[i]
+            y88 = y_new
+            k = ks[-1] if fsal else _rhs88(y88, prm, M)
+        return y88
 
-    def kernel(y0_ref, params_ref, sched_ref, M_ref,
-               od_t_ref, od_b_ref, oh_t_ref, oh_b_ref, oi_t_ref, oi_b_ref,
-               vd_t_ref, vd_b_ref, vh_t_ref, vh_b_ref, vi_t_ref, vi_b_ref,
+    def kernel(y0_ref, params_ref, sched_ref, M_ref, ov_t_ref, ov_b_ref,
                ll_ref):
         from jax.experimental import pallas as pl
 
@@ -150,60 +161,87 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
         Pblk = params_ref[:]                                 # (120, Bt)
         prm = {name: Pblk[8 * g: 8 * g + 8]
                for g, name in enumerate(_PARAM_ORDER)}
-        # one-time unpack of the (8, Bt) compartment blocks: y0_ref is
-        # (88, Bt) with compartment c at rows 8c..8c+7 (tile-aligned)
-        y = tuple(y0_ref[8 * c: 8 * c + 8] for c in range(11))
-        prev = (y[_D], y[_CUMH], y[_CUMICU])
-        ll0 = jnp.zeros_like(y[0][0:2])                      # (2, Bt)
-        dt_ = y[0].dtype
+        # the state stays FUSED as (88, Bt) — compartment c at tile-aligned
+        # rows 8c..8c+7; slices below are free views
+        y = y0_ref[:]
+        prev = (y[8 * _D: 8 * _D + 8], y[8 * _CUMH: 8 * _CUMH + 8],
+                y[8 * _CUMICU: 8 * _CUMICU + 8])
+        ll0 = jnp.zeros_like(y[0:2])                         # (2, Bt)
+        dt_ = y.dtype
         hi = jax.lax.Precision.HIGHEST   # bf16 multiplies would inject
-        streams = ((od_t_ref, od_b_ref, vd_t_ref, vd_b_ref),   # O(10) LL noise
-                   (oh_t_ref, oh_b_ref, vh_t_ref, vh_b_ref),
-                   (oi_t_ref, oi_b_ref, vi_t_ref, vi_b_ref))
+        # O(10) LL noise
 
-        def poisson(ot_ref, ob_ref, vt_ref, vb_ref, jc, inc):
-            O = jnp.concatenate([ot_ref[pl.ds(jc, 1), :],
-                                 ob_ref[pl.ds(jc, 1), :]], axis=0)  # (2, 8)
-            V = jnp.concatenate([vt_ref[pl.ds(jc, 1), :],
-                                 vb_ref[pl.ds(jc, 1), :]], axis=0)
-            return (jnp.dot(O, jnp.log(inc),
-                            preferred_element_type=dt_, precision=hi)
-                    - jnp.dot(V, inc, preferred_element_type=dt_,
-                              precision=hi))                       # (2, Bt)
+        def poisson_all(jc, incs):
+            """All three streams' Poisson terms in ONE (2, 48) @ (48, Bt)
+            contraction: rows of the fused day table are
+            [O_d | O_h | O_i | V_d | V_h | V_i] (each an 8-col group, top
+            rows [obs | 0] / bottom rows [0 | obs]), paired against the
+            stacked state [log inc_d; log inc_h; log inc_i; -inc_d; ...].
+            One tiny dot per day instead of six — the per-day fold machinery
+            (not the RK arithmetic) owned ~60% of the kernel step before
+            this (measured: halving substeps saved only 20%)."""
+            OV = jnp.concatenate([ov_t_ref[pl.ds(jc, 1), :],
+                                  ov_b_ref[pl.ds(jc, 1), :]], axis=0)  # (2,48)
+            state48 = jnp.concatenate(
+                [jnp.log(i) for i in incs] + [-i for i in incs], axis=0)
+            return jnp.dot(OV, state48,
+                           preferred_element_type=dt_, precision=hi)  # (2,Bt)
 
-        def interval(t, carry, beta):
-            y, prev, ll, comp = carry
+        def step_state(y, prev, beta):
             y = dopri_interval(y, dict(prm, beta=beta), M)
-            cur = (y[_D], y[_CUMH], y[_CUMICU])
-            # i32 throughout: under jax_enable_x64 a bare Python-int literal
-            # is i64 and the i32 fori_loop index + i64 add fails Mosaic
-            # verification ('arith.addi' type mismatch)
+            cur = (y[8 * _D: 8 * _D + 8], y[8 * _CUMH: 8 * _CUMH + 8],
+                   y[8 * _CUMICU: 8 * _CUMICU + 8])
+            incs = tuple(jnp.maximum(cv - pv, 0.0) + _EPS
+                         for pv, cv in zip(prev, cur))
+            return y, cur, incs
+
+        def kahan_add(ll, comp, term):
+            contrib = term - comp
+            ll_new = ll + contrib
+            return ll_new, (ll_new - ll) - contrib
+
+        # i32 throughout: under jax_enable_x64 a bare Python-int literal is
+        # i64 and the i32 fori_loop index + i64 add fails Mosaic verification
+
+        def interval_pre(t, carry, beta):
+            """Run entirely inside the run-up window: integrate only."""
+            y, prev, ll, comp = carry
+            y, cur, _ = step_state(y, prev, beta)
+            return y, cur, ll, comp
+
+        def interval_in(t, carry, beta):
+            """Run entirely inside the observation window: unmasked fold."""
+            y, prev, ll, comp = carry
+            y, cur, incs = step_state(y, prev, beta)
+            j = t + jnp.int32(1 - runup_offset)
+            ll, comp = kahan_add(ll, comp, poisson_all(j, incs))
+            return y, cur, ll, comp
+
+        def interval_edge(t, carry, beta):
+            """Run straddling the run-up boundary: masked fold."""
+            y, prev, ll, comp = carry
+            y, cur, incs = step_state(y, prev, beta)
             j = t + jnp.int32(1 - runup_offset)
             in_obs = jnp.logical_and(j >= 0, j < jnp.int32(T_obs))
             jc = jnp.clip(j, jnp.int32(0), jnp.int32(T_obs - 1))
-            term = ll * 0.0
-            for s, (pv, cv) in enumerate(((prev[0], cur[0]),
-                                          (prev[1], cur[1]),
-                                          (prev[2], cur[2]))):
-                inc = jnp.maximum(cv - pv, 0.0) + _EPS             # (8, Bt)
-                term = term + poisson(*streams[s], jc, inc)
-            # Kahan-compensated accumulation (see build_objective's fold)
-            contrib = jnp.where(in_obs, term, 0.0) - comp
-            ll_new = ll + contrib
-            comp = (ll_new - ll) - contrib
-            return y, cur, ll_new, comp
+            term = jnp.where(in_obs, poisson_all(jc, incs), 0.0)
+            ll, comp = kahan_add(ll, comp, term)
+            return y, cur, ll, comp
 
         if runup_offset == 0:
-            inc0 = jnp.full_like(y[0], _EPS)
-            zero = jnp.zeros((), dtype=jnp.int32)
-            for s in range(3):
-                ll0 = ll0 + poisson(*streams[s], zero, inc0)
+            inc0 = jnp.full_like(y[0:8], _EPS)
+            ll0 = ll0 + poisson_all(jnp.zeros((), dtype=jnp.int32),
+                                    (inc0, inc0, inc0))
 
         # The daily intervals are grouped into STATIC runs of constant
         # (beta period, kappa period) — schedule breakpoints are fixed file
         # constants; sched_ref row 2r / 2r+1 hold run r's effective
         # beta*kappa*scaling for chain halves A / B, expanded to one (8, Bt)
-        # broadcast per run.
+        # broadcast per run. Interval t contributes observation row
+        # j = t+1-runup_offset, so a run whose last interval has j < 0 never
+        # folds (static: skip the Poisson machinery entirely) and a run whose
+        # first interval has j >= 0 always folds (drop the mask; j never
+        # reaches T_obs — the grid ends at j = T_obs-1).
         carry = (y, prev, ll0, jnp.zeros_like(ll0))
         for r, (_pb, _pk, start, count) in enumerate(period_runs):
             bA = sched_ref[2 * r: 2 * r + 1, :]
@@ -211,9 +249,15 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             beta = jnp.concatenate([
                 jnp.broadcast_to(bA, (4,) + bA.shape[1:]),
                 jnp.broadcast_to(bB, (4,) + bB.shape[1:])], axis=0)
+            if start + count - 1 < runup_offset - 1:
+                body = interval_pre
+            elif start >= runup_offset - 1:
+                body = interval_in
+            else:
+                body = interval_edge
             carry = jax.lax.fori_loop(
                 jnp.int32(start), jnp.int32(start + count),
-                lambda t, c, beta=beta: interval(t, c, beta), carry)
+                lambda t, c, beta=beta, body=body: body(t, c, beta), carry)
         _, _, ll, _comp = carry
         ll_ref[:] = ll
 
@@ -254,8 +298,8 @@ def _sched_rows(n_runs: int) -> int:
 @functools.partial(jax.jit, static_argnames=("runup_offset", "period_runs",
                                              "substeps", "tableau",
                                              "block_lanes", "interpret"))
-def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_tables,
-                    valid_tables, *, runup_offset: int, period_runs,
+def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_valid_tables,
+                    *, runup_offset: int, period_runs,
                     substeps: int = 4, tableau: str = "dopri5",
                     block_lanes: int = 256, interpret: bool = False):
     """Run the fused solve+fold kernel on sublane-packed inputs.
@@ -269,10 +313,12 @@ def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_tables,
       sched_pack:   (_sched_rows(n_runs), B2) effective per-run
                     beta*kappa*scaling; rows 2r / 2r+1 = run r, halves A / B
       M2:           (8, 8) blockdiag(M, M) contact matrix (shared)
-      obs_tables:   3 streams x (top, bottom) (T_obs, 8) observations*valid
-                    in order deaths, hosp, icu; top rows [obs | 0],
-                    bottom rows [0 | obs]
-      valid_tables: same structure for the validity masks
+      obs_valid_tables: (top, bottom) fused (T_obs, 48) day tables; columns
+                    are six 8-col groups [O_d | O_h | O_i | V_d | V_h | V_i]
+                    (streams in order deaths, hosp, icu; O = obs*valid);
+                    top rows put the 4 age values in cols 0-3 of each group
+                    ([obs | 0]) for chain-half A, bottom rows in cols 4-7
+                    ([0 | obs]) for half B
       period_runs:  static tuple from :func:`period_runs_for_grid`
 
     Returns (2, B2) log-likelihoods — row 0 = chain half A, row 1 = half B
@@ -283,7 +329,8 @@ def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_tables,
 
     dtype = y0_pack.dtype
     B2 = y0_pack.shape[1]
-    T_obs = obs_tables[0][0].shape[0]
+    ov_t, ov_b = obs_valid_tables
+    T_obs = ov_t.shape[0]
     if B2 % block_lanes != 0:
         raise ValueError(f"lane batch {B2} not divisible by block_lanes "
                          f"{block_lanes}")
@@ -300,19 +347,15 @@ def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_tables,
     rep = lambda r, c: pl.BlockSpec((r, c), lambda i: (i * 0, i * 0),
                                     memory_space=pltpu.VMEM)
 
-    (od_t, od_b), (oh_t, oh_b), (oi_t, oi_b) = obs_tables
-    (vd_t, vd_b), (vh_t, vh_b), (vi_t, vi_b) = valid_tables
     ll = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[tile(88), tile(N_PARAM_ROWS), tile(sched_pack.shape[0]),
-                  rep(8, 8)] + [rep(T_obs, 8)] * 12,
+                  rep(8, 8), rep(T_obs, 48), rep(T_obs, 48)],
         out_specs=tile(2),
         out_shape=jax.ShapeDtypeStruct((2, B2), dtype),
         interpret=interpret,
-    )(y0_pack, param_pack, sched_pack, M2,
-      od_t, od_b, oh_t, oh_b, oi_t, oi_b,
-      vd_t, vd_b, vh_t, vh_b, vi_t, vi_b)
+    )(y0_pack, param_pack, sched_pack, M2, ov_t, ov_b)
     return ll
 
 
@@ -351,20 +394,25 @@ def build_objective_pallas(space, base_params, data, ts, *,
                                        np.asarray(base_params.kappa_end_times))
     n_runs = len(period_runs)
 
-    def stream_tables(x):
+    def stream_cols(x):
         x = np.asarray(x, dtype=np.float64)
         valid = (np.isfinite(x) & (x >= 0)).astype(np.float64)
         ov = np.where(valid > 0, x, 0.0) * valid
-        z = np.zeros_like(ov)
-        pack = lambda a: (jnp.asarray(np.concatenate([a, z], axis=1), dtype=dtype),
-                          jnp.asarray(np.concatenate([z, a], axis=1), dtype=dtype))
-        return pack(ov), pack(valid)
+        return ov, valid
 
-    (obs_d, val_d) = stream_tables(data.new_deaths)
-    (obs_h, val_h) = stream_tables(data.new_hospitalizations)
-    (obs_i, val_i) = stream_tables(data.new_icu)
-    obs_tables = (obs_d, obs_h, obs_i)
-    valid_tables = (val_d, val_h, val_i)
+    # fused (T_obs, 48) day tables: [O_d | O_h | O_i | V_d | V_h | V_i],
+    # each group's cols 0-3 (top table, chain-half A) or 4-7 (bottom, half B)
+    groups6 = []
+    for x in (data.new_deaths, data.new_hospitalizations, data.new_icu):
+        groups6.append(stream_cols(x)[0])
+    for x in (data.new_deaths, data.new_hospitalizations, data.new_icu):
+        groups6.append(stream_cols(x)[1])
+    z4 = np.zeros_like(groups6[0])
+    ov_top = jnp.asarray(np.concatenate(
+        [np.concatenate([g, z4], axis=1) for g in groups6], axis=1), dtype=dtype)
+    ov_bot = jnp.asarray(np.concatenate(
+        [np.concatenate([z4, g], axis=1) for g in groups6], axis=1), dtype=dtype)
+    obs_valid_tables = (ov_top, ov_bot)
     Mnp = np.asarray(base_params.M_baseline, dtype=np.float64)
     M2 = jnp.asarray(np.block([[Mnp, np.zeros_like(Mnp)],
                                [np.zeros_like(Mnp), Mnp]]), dtype=dtype)
@@ -427,7 +475,7 @@ def build_objective_pallas(space, base_params, data, ts, *,
                               dtype=sched.dtype)])
 
         out = fused_objective(y0_pack, param_pack, sched_pack, M2,
-                              obs_tables, valid_tables,
+                              obs_valid_tables,
                               runup_offset=runup_offset,
                               period_runs=period_runs, substeps=substeps,
                               tableau=tableau, block_lanes=lanes,
