@@ -99,6 +99,17 @@ def test_spain_trajectory_parity_fixed(spain_setup):
     assert relerr < 1e-6, relerr
 
 
+def test_spain_trajectory_parity_bench_config(spain_setup):
+    """The benchmark/production config (cash_karp @ 3 substeps/day — bench.py,
+    PARITY.md tableau table) also meets the rtol 1e-6 parity bar."""
+    prm, y0, ts, gold = spain_setup
+    params = _spain_params(prm)
+    traj = np.asarray(sep.solve(params, jnp.asarray(y0), ts, method="fixed",
+                                substeps=3, tableau="cash_karp"))
+    relerr = np.max(np.abs(traj - gold) / (np.abs(gold) + 1e-8 * np.max(gold)))
+    assert relerr < 1e-6, relerr
+
+
 def test_spain_trajectory_parity_adaptive(spain_setup):
     """Adaptive integrate_times path (odeint semantics) matches golden."""
     prm, y0, ts, gold = spain_setup
