@@ -1,6 +1,7 @@
 from .param_space import ParameterSpace, CLAMP, REFLECT
 from .objective import build_objective, build_incidence_fn, make_time_grid, lowest
 from .mh import MHConfig, MHResult, run_mh
+from .mala import MALAConfig, MALAResult, run_mala
 from .tempering import PTConfig, PTResult, run_pt
 from .pso import PSOConfig, PSOResult, PSOVariant, Topology, run_pso
 from .hill import HillClimbConfig, HillClimbResult, run_hill_climb
@@ -13,6 +14,7 @@ __all__ = [
     "ParameterSpace", "CLAMP", "REFLECT",
     "build_objective", "build_incidence_fn", "make_time_grid", "lowest",
     "MHConfig", "MHResult", "run_mh",
+    "MALAConfig", "MALAResult", "run_mala",
     "PTConfig", "PTResult", "run_pt",
     "PSOConfig", "PSOResult", "PSOVariant", "Topology", "run_pso",
     "HillClimbConfig", "HillClimbResult", "run_hill_climb",

@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     p.add_argument("--burn-in", type=int, default=500)
     p.add_argument("--thinning", type=int, default=500)
     p.add_argument("--substeps", type=int, default=4)
+    p.add_argument("--tableau", default="dopri5",
+                   help="fixed-grid RK tableau; cash_karp with --substeps 3 "
+                        "is the measured-equal-accuracy fast config "
+                        "(PARITY.md tableau table)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init",
                    default=os.path.join(REPO, "results", "spain2020",
@@ -93,10 +97,12 @@ def main(argv=None) -> int:
                         data.n_data_points)
 
     loglik = build_objective(space, params, data, ts, substeps=args.substeps,
+                             tableau=args.tableau,
                              constraint_mode=REFLECT, dtype=dtype)
     if dev.platform == "tpu" and args.dtype == "float32":
         ll_batch = build_objective_pallas(space, params, data, ts,
                                           substeps=args.substeps,
+                                          tableau=args.tableau,
                                           constraint_mode=REFLECT,
                                           dtype=dtype,
                                           block_b=min(2048, args.chains))
@@ -209,6 +215,7 @@ def main(argv=None) -> int:
     params64 = jax.tree_util.tree_map(
         lambda x: jnp64.asarray(np.asarray(x), jnp64.float64), params)
     ll64 = build_objective(space, params64, data, ts, substeps=args.substeps,
+                           tableau=args.tableau,
                            constraint_mode=REFLECT, dtype=jnp64.float64)
     cands = jnp64.asarray(
         np.asarray(res.final_state.best_x).reshape(-1, space.dim),
