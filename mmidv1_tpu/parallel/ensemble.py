@@ -228,3 +228,43 @@ def run_pt_gspmd(
     return run_pt(loglik, space, jnp.asarray(theta0), key, cfg,
                   n_chains=n_chains, initial_state=state0,
                   loglik_batch=loglik_batch)
+
+
+def run_mala_gspmd(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    theta0: jnp.ndarray,
+    key: jax.Array,
+    cfg,
+    *,
+    n_chains: int,
+    mesh: Optional[Mesh] = None,
+    initial_cov: Optional[jnp.ndarray] = None,
+    jitter: float = 1.0,
+    value_and_grad_batch: Optional[Callable] = None,
+):
+    """Ensemble preconditioned MALA with the chain axis sharded over the mesh
+    (GSPMD). The Langevin drift, proposal densities, and accept/reject are
+    chain-local (zero communication); the ensemble-covariance preconditioner
+    contraction crosses shards (XLA inserts the psum)."""
+    from ..calibration.mala import (MALAConfig, _bounded_value_and_grad,
+                                    init_mala_state, run_mala)
+
+    if mesh is None:
+        mesh = ensemble_mesh()
+    check_divisible(n_chains, mesh, "n_chains")
+    if value_and_grad_batch is None:
+        value_and_grad_batch = jax.vmap(jax.value_and_grad(loglik))
+    eval_batch = _bounded_value_and_grad(space, value_and_grad_batch,
+                                         cfg.grad_clip_norm)
+    # Mirror run_mala's internal key split so a GSPMD run with `key` consumes
+    # the same random stream as the unsharded run.
+    k_init, _k_run = jax.random.split(key)
+    state0 = init_mala_state(space, jnp.asarray(theta0), eval_batch, k_init,
+                             n_chains, jitter=jitter, initial_cov=initial_cov,
+                             cfg=cfg)
+    state0 = shard_ensemble_pytree(state0, mesh, n_chains,
+                                   axis_name=mesh.axis_names[0])
+    return run_mala(loglik, space, jnp.asarray(theta0), key, cfg,
+                    n_chains=n_chains, initial_state=state0,
+                    value_and_grad_batch=value_and_grad_batch)

@@ -202,3 +202,24 @@ def test_mh_sharded_on_sepaihrd_objective(spain_params):
                            mesh=ensemble_mesh(), loglik_batch=ll_p)
     np.testing.assert_allclose(np.asarray(shd_p.samples),
                                np.asarray(ref.samples), rtol=1e-7, atol=1e-9)
+
+
+def test_mala_gspmd_matches_unsharded(gaussian_problem):
+    """MALA with the chain axis GSPMD-sharded: identical samples to the
+    unsharded run (drift/accept are chain-local; the preconditioner
+    contraction psums across shards)."""
+    from mmidv1_tpu.calibration.mala import MALAConfig, run_mala
+    from mmidv1_tpu.parallel import run_mala_gspmd
+
+    loglik, space, mu, sd = gaussian_problem
+    cfg = MALAConfig(iterations=60, burn_in=10, adaptation_period=20,
+                     thinning=4, initial_step_size=0.3)
+    theta0 = jnp.zeros(3)
+    key = jax.random.PRNGKey(21)
+    ref = run_mala(loglik, space, theta0, key, cfg, n_chains=16)
+    shd = run_mala_gspmd(loglik, space, theta0, key, cfg, n_chains=16,
+                         mesh=ensemble_mesh())
+    np.testing.assert_allclose(np.asarray(shd.samples),
+                               np.asarray(ref.samples), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(shd.best_logp),
+                               np.asarray(ref.best_logp), rtol=1e-9)
