@@ -162,7 +162,10 @@ def main():
                                   tableau=TABLEAU, block_lanes=1024)
             return out
 
-        STEPS = 10
+        # 100 in-scan steps: at STEPS=10 the ~30 ms tunnel dispatch adds a
+        # ~3 ms/step bias — about the size of the step itself (measured via
+        # marginal two-point timing of the MH runner, OPS_ANALYSIS.md)
+        STEPS = 100
 
         @jax.jit
         def scan_solves(key):
@@ -239,30 +242,67 @@ def main():
     # 3) MCMC chain-steps/sec at 8192 chains (headline sampler workload)
     # ------------------------------------------------------------------
     N_CHAINS = int(os.environ.get("BENCH_CHAINS", 8192))
-    # Two-point measurement: run_mh re-traces per call, so time a short and a
-    # long run and difference them — trace/compile/init cancel, leaving the
-    # steady-state per-step cost.
-    STEPS_SHORT, STEPS_LONG = 10, 110
+    # Two-point measurement over PRE-BUILT jitted runners (make_mh_runner):
+    # run_mh re-traces per call (~10 s host time, larger than the runs being
+    # measured — an earlier version timed exactly that noise and reported
+    # impossible step rates). With reusable runners the timed region is pure
+    # device work + one dispatch; differencing the two step counts cancels
+    # the dispatch/init.
+    from mmidv1_tpu.calibration.mh import init_mh_state, make_mh_runner
 
-    def mh_run(key, steps):
+    STEPS_SHORT, STEPS_LONG = 10, 110
+    ll_batch = ll_pallas if ll_pallas is not None else jax.vmap(loglik)
+    state0 = init_mh_state(space, theta0, ll_batch, jax.random.PRNGKey(2),
+                           N_CHAINS)
+    runners = {}
+    for steps in (STEPS_SHORT, STEPS_LONG):
         cfg = MHConfig(iterations=steps, burn_in=4, adaptation_period=50,
                        thinning=10)
-        return run_mh(loglik, space, theta0, key, cfg, n_chains=N_CHAINS,
-                      loglik_batch=ll_pallas)
-
+        runners[steps] = make_mh_runner(space, cfg, ll_batch)
     t0 = time.perf_counter()
-    mh_run(jax.random.PRNGKey(2), STEPS_SHORT).best_logp.block_until_ready()
-    mh_run(jax.random.PRNGKey(2), STEPS_LONG).best_logp.block_until_ready()
+    for steps in (STEPS_SHORT, STEPS_LONG):
+        runners[steps](state0, jax.random.PRNGKey(2)).best_logp.block_until_ready()
     log(f"mcmc compile+first runs: {time.perf_counter() - t0:.1f}s")
-    t_short = timed(lambda k: mh_run(k, STEPS_SHORT).best_logp.block_until_ready(),
-                    jax.random.PRNGKey(3), reps=2)
-    t_long = timed(lambda k: mh_run(k, STEPS_LONG).best_logp.block_until_ready(),
-                   jax.random.PRNGKey(4), reps=2)
+    t_short = timed(lambda k: runners[STEPS_SHORT](state0, k)
+                    .best_logp.block_until_ready(), jax.random.PRNGKey(3))
+    t_long = timed(lambda k: runners[STEPS_LONG](state0, k)
+                   .best_logp.block_until_ready(), jax.random.PRNGKey(4))
     dt = max(t_long - t_short, 1e-9)
     chain_steps_per_sec = N_CHAINS * (STEPS_LONG - STEPS_SHORT) / dt
     details["mcmc_chain_steps_per_sec_8192_chains"] = chain_steps_per_sec
     details["mcmc_chains"] = N_CHAINS
     log(f"mcmc chain-steps/sec ({N_CHAINS} chains): {chain_steps_per_sec:.3e}")
+
+    # ------------------------------------------------------------------
+    # 4) Gradient throughput: Pallas adjoint engine (value_and_grad)
+    # ------------------------------------------------------------------
+    try:
+        from mmidv1_tpu.ops import build_objective_pallas_grad
+
+        vg = build_objective_pallas_grad(space, params, data, ts_cal,
+                                         substeps=SUBSTEPS, tableau=TABLEAU,
+                                         constraint_mode=REFLECT, dtype=dtype)
+        GSTEPS = 20    # amortize the ~30 ms dispatch to <2 ms/step
+
+        @jax.jit
+        def scan_grads(key):
+            def body(acc, k):
+                t = thetas + 0.001 * jax.random.normal(k, thetas.shape, dtype)
+                v, g = vg(t)
+                return acc + v.sum() + g.sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), dtype),
+                                  jax.random.split(key, GSTEPS))
+            return acc
+
+        t0 = time.perf_counter()
+        scan_grads(jax.random.PRNGKey(7)).block_until_ready()
+        log(f"adjoint compile+first run: {time.perf_counter()-t0:.1f}s")
+        dtg = timed(lambda k: scan_grads(k).block_until_ready(),
+                    jax.random.PRNGKey(8)) / GSTEPS
+        details["pallas_grad_evals_per_sec_per_chip"] = B / dtg
+        log(f"value_and_grad evals/sec/chip (Pallas adjoint): {B/dtg:.3e}")
+    except Exception as e:
+        log(f"pallas adjoint skipped: {type(e).__name__}: {e}")
 
     with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
         json.dump(details, f, indent=2)

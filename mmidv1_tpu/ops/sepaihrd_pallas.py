@@ -115,20 +115,52 @@ def _rhs(y, prm, M):
     )
 
 
-def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
-                 tableau: str, period_runs):
+def _rhs88(y88, prm, M):
+    # every compartment row-block of the fused (88, Bt) state is
+    # tile-aligned (8 rows), so these slices are free views — the rule-1
+    # ban on a single state array was about the UNPACKED (44, B) layout
+    # whose 4-row compartments straddle sublane tiles
+    y = tuple(y88[8 * c: 8 * c + 8] for c in range(11))
+    return jnp.concatenate(_rhs(y, prm, M), axis=0)
+
+
+def make_interval_fn(substeps: int, tableau: str, remat: bool = False):
+    """One daily interval of fused-state fixed-grid RK:
+    ``(y88, prm, M) -> y88'``. Shared by the forward kernel and the adjoint
+    kernel (:mod:`mmidv1_tpu.ops.sepaihrd_adjoint`), which differentiates it
+    with ``jax.vjp`` at trace time.
+
+    ``remat=True`` wraps each substep in ``jax.checkpoint`` so the vjp holds
+    only one substep's stage states at a time (the peak-VMEM knob of the
+    adjoint kernel) — bitwise-identical forward states: the first stage of a
+    substep is exactly ``rhs(y)`` whether carried (FSAL) or recomputed."""
     tab = get_tableau(tableau)
     h = 1.0 / substeps
     a_tab, b_tab, fsal = tab.a, tab.b, tab.fsal
     stages = tab.stages
 
-    def _rhs88(y88, prm, M):
-        # every compartment row-block of the fused (88, Bt) state is
-        # tile-aligned (8 rows), so these slices are free views — the rule-1
-        # ban on a single state array was about the UNPACKED (44, B) layout
-        # whose 4-row compartments straddle sublane tiles
-        y = tuple(y88[8 * c: 8 * c + 8] for c in range(11))
-        return jnp.concatenate(_rhs(y, prm, M), axis=0)
+    def one_substep(y88, prm, M):
+        ks = [_rhs88(y88, prm, M)]
+        for i in range(1, stages):
+            yi = y88
+            for j in range(i):
+                if a_tab[i, j] != 0.0:
+                    # Python float: a NumPy f64 scalar would promote the
+                    # f32 state to f64 under jax_enable_x64
+                    yi = yi + float(h * a_tab[i, j]) * ks[j]
+            ks.append(_rhs88(yi, prm, M))
+        y_new = y88
+        for i in range(stages):
+            if b_tab[i] != 0.0:
+                y_new = y_new + float(h * b_tab[i]) * ks[i]
+        return y_new
+
+    if remat:
+        # expose the self-contained substep: the adjoint kernel re-derives
+        # each substep's transpose separately so only one substep's stage
+        # states are live at a time (jax.checkpoint's remat2 primitive has
+        # no Mosaic lowering, so the rematerialization is spelled out there)
+        return one_substep
 
     def dopri_interval(y88, prm, M):
         # fused-state RK: each stage/update axpy is ONE (88, Bt) op instead
@@ -141,8 +173,6 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
                 yi = y88
                 for j in range(i):
                     if a_tab[i, j] != 0.0:
-                        # Python float: a NumPy f64 scalar would promote the
-                        # f32 state to f64 under jax_enable_x64
                         yi = yi + float(h * a_tab[i, j]) * ks[j]
                 ks.append(_rhs88(yi, prm, M))
             y_new = y88
@@ -152,6 +182,13 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             y88 = y_new
             k = ks[-1] if fsal else _rhs88(y88, prm, M)
         return y88
+
+    return dopri_interval
+
+
+def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
+                 tableau: str, period_runs):
+    dopri_interval = make_interval_fn(substeps, tableau)
 
     def kernel(y0_ref, params_ref, sched_ref, M_ref, ov_t_ref, ov_b_ref,
                ll_ref):
