@@ -25,10 +25,15 @@ floor and are rejected — exact detailed balance on the truncated posterior
 norm-clipped at ``grad_clip_norm`` per chain (mirroring the NUTS leapfrog
 guard) so cliff-edge gradients cannot fling chains out of support.
 
-Cost note (measured, TPU v5e, Spain-2020 objective, OPS_ANALYSIS.md): one
-``value_and_grad`` through the solve costs ~25x one Pallas forward eval, so
-ensemble-AM (:mod:`mh`) wins on raw chain-steps/s; MALA earns its keep when
-the target's geometry defeats random-walk moves (ESS/step, not steps/s).
+Cost + fidelity note (measured, TPU v5e, Spain-2020, OPS_ANALYSIS.md): with
+the Pallas adjoint engine (``ops.build_objective_pallas_grad``) a
+value_and_grad costs ~13x one forward eval, and on the real float32
+posterior ensemble-AM still wins ~4-8x in min-ESS/s: the f32 likelihood
+noise enters the Langevin accept ratio twice (value + gradient-based
+proposal correction), collapsing acceptance as eps grows and confounding
+the Robbins-Monro adaptation (pseudo-marginal-style). Prefer :mod:`mh` or
+:mod:`tempering` for f32 production sampling; MALA earns its keep for
+well-conditioned/cheap-noise targets and f64 work.
 """
 
 from __future__ import annotations
