@@ -44,6 +44,10 @@ def main(argv=None) -> int:
                    help="optimizer/sampler iterations per timed run")
     p.add_argument("--chains", type=int, default=1024)
     p.add_argument("--substeps", type=int, default=4)
+    p.add_argument("--tableau", default="dopri5",
+                   help="fixed-grid RK tableau; cash_karp with --substeps 3 "
+                        "is the measured-equal-accuracy fast config "
+                        "(PARITY.md)")
     p.add_argument("--num-days", type=int, default=None)
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--x64", action="store_true")
@@ -73,10 +77,12 @@ def main(argv=None) -> int:
                "batch": args.batch, "n_params": pipe.space.dim}
 
     loglik_c = build_objective(pipe.space, pipe.params, pipe.data, pipe.ts,
-                               substeps=args.substeps, constraint_mode=CLAMP,
+                               substeps=args.substeps, tableau=args.tableau,
+                               constraint_mode=CLAMP,
                                dtype=dtype)
     loglik_r = build_objective(pipe.space, pipe.params, pipe.data, pipe.ts,
-                               substeps=args.substeps, constraint_mode=REFLECT,
+                               substeps=args.substeps, tableau=args.tableau,
+                               constraint_mode=REFLECT,
                                dtype=dtype)
     theta0 = jnp.asarray(pipe.theta0, dtype=dtype)
     key = jax.random.PRNGKey(0)
