@@ -3,7 +3,7 @@
 TPU-native re-design of ``NUTSSampler``
 (reference: ``src/model/optimizers/NUTSSampler.cpp``, Hoffman & Gelman 2014
 Alg. 6). The single biggest qualitative upgrade over the reference: the gradient
-comes from ``jax.grad`` through the fixed-grid Dopri5 solve (exact reverse-mode
+comes from ``jax.grad`` through the fixed-grid RK solve (exact reverse-mode
 adjoint), replacing the reference's OpenMP-parallel forward finite differences
 (``SEPAIHRDGradientObjectiveFunction.cpp:15-171``) which cost d+1 ODE solves per
 gradient and carry O(eps) truncation error.
@@ -19,14 +19,19 @@ Faithful pieces:
 
 Design notes: ``max_tree_depth`` is small in the reference configuration (3), so
 the doubling recursion is unrolled AT TRACE TIME — the whole tree build becomes
-one fused device program with 2^depth leapfrog steps and `lax.cond` joins; an
-ensemble of chains is vmapped over it.
+one fused device program with 2^depth leapfrog steps. The sampler is
+BATCH-NATIVE: every tree operation acts on (B, d) ensembles with per-chain
+masks (the same select semantics a vmapped ``lax.cond`` lowers to), so the
+gradient engine can be a batch-level function — pass
+``value_and_grad_batch=mmidv1_tpu.ops.build_objective_pallas_grad(...)`` to run
+every leapfrog's gradient through the Pallas adjoint kernels
+(3.2x the XLA adjoint, OPS_ANALYSIS.md).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -65,120 +70,139 @@ class NUTSResult(NamedTuple):
 
 
 def _clip_grad(g):
-    norm = jnp.linalg.norm(g)
+    """Per-chain gradient-norm clipping; g is (B, d)."""
+    norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
     factor = jnp.where(norm > GRAD_CLIP_NORM, GRAD_CLIP_NORM / norm, 1.0)
     return jnp.where(jnp.isfinite(factor), g * factor, jnp.zeros_like(g))
 
 
-def _leapfrog(value_and_grad, space, theta, r, grad, eps):
-    """One leapfrog step with constraint clamping (:289-318)."""
-    r_half = r + 0.5 * eps * _clip_grad(grad)
-    theta_new = space.clamp(theta + eps * r_half)
-    logp_new, grad_new = value_and_grad(theta_new)
-    r_new = r_half + 0.5 * eps * _clip_grad(grad_new)
-    return theta_new, r_new, logp_new, grad_new
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)                       # (B,)
+
+
+def _w(cond, x, y):
+    """Per-chain select: cond (B,) against (B,) or (B, d) operands."""
+    if x.ndim == cond.ndim + 1:
+        cond = cond[..., None]
+    return jnp.where(cond, x, y)
 
 
 class _Tree(NamedTuple):
-    theta_minus: jnp.ndarray
+    theta_minus: jnp.ndarray    # (B, d)
     r_minus: jnp.ndarray
     grad_minus: jnp.ndarray
     theta_plus: jnp.ndarray
     r_plus: jnp.ndarray
     grad_plus: jnp.ndarray
     theta_prime: jnp.ndarray
-    logp_prime: jnp.ndarray
-    n_prime: jnp.ndarray
-    s_prime: jnp.ndarray
-    alpha: jnp.ndarray
-    n_alpha: jnp.ndarray
+    logp_prime: jnp.ndarray     # (B,)
+    n_prime: jnp.ndarray        # (B,)
+    s_prime: jnp.ndarray        # (B,)
+    alpha: jnp.ndarray          # (B,)
+    n_alpha: jnp.ndarray        # (B,)
 
 
-def _build_tree(value_and_grad, space, theta, r, grad, log_u, v, j, eps, logp0_r0,
+def _build_tree(vag_batch, space, theta, r, grad, log_u, v, j, eps, logp0_r0,
                 key):
-    """Recursive doubling, unrolled at trace time (j is a python int)."""
+    """Recursive doubling, unrolled at trace time (j is a python int).
+
+    All leaves are (B, ...) ensembles; per-chain joins are masked selects —
+    exactly what a vmapped ``lax.cond`` lowers to, but expressed batch-level
+    so ``vag_batch`` sees whole (B, d) batches (Pallas-engine compatible).
+    ``v`` is the (B,) direction (+-1), ``eps`` the (B,) step sizes.
+    """
+    dtype = theta.dtype
     if j == 0:
         # single leapfrog step in direction v
-        r_half = r + 0.5 * (v * eps) * _clip_grad(grad)
-        theta1 = space.clamp(theta + (v * eps) * r_half)
-        logp1, grad1 = value_and_grad(theta1)
-        r1 = r_half + 0.5 * (v * eps) * _clip_grad(grad1)
+        ve = (v * eps)[:, None]
+        r_half = r + 0.5 * ve * _clip_grad(grad)
+        theta1 = space.clamp(theta + ve * r_half)
+        logp1, grad1 = vag_batch(theta1)
+        r1 = r_half + 0.5 * ve * _clip_grad(grad1)
 
-        joint = logp1 - 0.5 * jnp.dot(r1, r1)
+        joint = logp1 - 0.5 * _dot(r1, r1)
         finite = jnp.isfinite(joint)
         n1 = jnp.where(finite & (log_u <= joint), 1, 0)
         s1 = jnp.where(finite & (log_u < joint + DELTA_MAX), 1, 0)
-        alpha = jnp.where(finite, jnp.minimum(1.0, jnp.exp(joint - logp0_r0)), 0.0)
+        alpha = jnp.where(finite, jnp.minimum(1.0, jnp.exp(joint - logp0_r0)),
+                          0.0)
         return _Tree(theta1, r1, grad1, theta1, r1, grad1, theta1, logp1,
-                     n1, s1, alpha, jnp.asarray(1.0, theta.dtype))
+                     n1, s1, alpha, jnp.ones_like(alpha))
 
+    B = theta.shape[0]
     k1, k2, k3 = jax.random.split(key, 3)
-    t1 = _build_tree(value_and_grad, space, theta, r, grad, log_u, v, j - 1, eps,
+    t1 = _build_tree(vag_batch, space, theta, r, grad, log_u, v, j - 1, eps,
                      logp0_r0, k1)
 
-    def extend(t: _Tree) -> _Tree:
-        # grow in direction v from the appropriate edge
-        edge_theta = jnp.where(v > 0, t.theta_plus, t.theta_minus)
-        edge_r = jnp.where(v > 0, t.r_plus, t.r_minus)
-        edge_grad = jnp.where(v > 0, t.grad_plus, t.grad_minus)
-        t2 = _build_tree(value_and_grad, space, edge_theta, edge_r, edge_grad,
-                         log_u, v, j - 1, eps, logp0_r0, k2)
-        theta_minus = jnp.where(v > 0, t.theta_minus, t2.theta_minus)
-        r_minus = jnp.where(v > 0, t.r_minus, t2.r_minus)
-        grad_minus = jnp.where(v > 0, t.grad_minus, t2.grad_minus)
-        theta_plus = jnp.where(v > 0, t2.theta_plus, t.theta_plus)
-        r_plus = jnp.where(v > 0, t2.r_plus, t.r_plus)
-        grad_plus = jnp.where(v > 0, t2.grad_plus, t.grad_plus)
+    # grow in direction v from the appropriate edge (always computed; chains
+    # whose first subtree already stopped keep t1 via the masked join below —
+    # the same both-branches cost a vmapped lax.cond pays)
+    pos = v > 0
+    edge_theta = _w(pos, t1.theta_plus, t1.theta_minus)
+    edge_r = _w(pos, t1.r_plus, t1.r_minus)
+    edge_grad = _w(pos, t1.grad_plus, t1.grad_minus)
+    t2 = _build_tree(vag_batch, space, edge_theta, edge_r, edge_grad,
+                     log_u, v, j - 1, eps, logp0_r0, k2)
+    theta_minus = _w(pos, t1.theta_minus, t2.theta_minus)
+    r_minus = _w(pos, t1.r_minus, t2.r_minus)
+    grad_minus = _w(pos, t1.grad_minus, t2.grad_minus)
+    theta_plus = _w(pos, t2.theta_plus, t1.theta_plus)
+    r_plus = _w(pos, t2.r_plus, t1.r_plus)
+    grad_plus = _w(pos, t2.grad_plus, t1.grad_plus)
 
-        n_tot = t.n_prime + t2.n_prime
-        take2 = (jax.random.uniform(k3, dtype=t.logp_prime.dtype) <
-                 t2.n_prime / jnp.maximum(n_tot, 1))
-        theta_prime = jnp.where(take2, t2.theta_prime, t.theta_prime)
-        logp_prime = jnp.where(take2, t2.logp_prime, t.logp_prime)
+    n_tot = t1.n_prime + t2.n_prime
+    take2 = (jax.random.uniform(k3, (B,), dtype=dtype) <
+             t2.n_prime / jnp.maximum(n_tot, 1))
+    theta_prime = _w(take2, t2.theta_prime, t1.theta_prime)
+    logp_prime = _w(take2, t2.logp_prime, t1.logp_prime)
 
-        dtheta = theta_plus - theta_minus
-        no_uturn = ((jnp.dot(dtheta, r_minus) >= 0) &
-                    (jnp.dot(dtheta, r_plus) >= 0)).astype(t.s_prime.dtype)
-        s = t2.s_prime * no_uturn
-        return _Tree(theta_minus, r_minus, grad_minus, theta_plus, r_plus,
-                     grad_plus, theta_prime, logp_prime, n_tot, s,
-                     t.alpha + t2.alpha, t.n_alpha + t2.n_alpha)
+    dtheta = theta_plus - theta_minus
+    no_uturn = ((_dot(dtheta, r_minus) >= 0) &
+                (_dot(dtheta, r_plus) >= 0)).astype(t1.s_prime.dtype)
+    ext = _Tree(theta_minus, r_minus, grad_minus, theta_plus, r_plus,
+                grad_plus, theta_prime, logp_prime, n_tot,
+                t2.s_prime * no_uturn, t1.alpha + t2.alpha,
+                t1.n_alpha + t2.n_alpha)
 
-    # only extend if the first subtree is still valid
-    return jax.lax.cond(t1.s_prime == 1, extend, lambda t: t, t1)
+    # per-chain join: extend only where the first subtree was still valid
+    valid = t1.s_prime == 1
+    return _Tree(*[_w(valid, e, o) for e, o in zip(ext, t1)])
 
 
-def find_reasonable_epsilon(value_and_grad, space, theta0, sigmas, key,
+def find_reasonable_epsilon(vag_batch, space, theta0, sigmas, key,
                             max_probes: int = 5):
-    """Heuristic initial epsilon (:215-286): start from the mean proposal sigma,
-    then double/halve until the one-step acceptance crosses 0.5."""
+    """Heuristic initial epsilon per chain (:215-286): start from the mean
+    proposal sigma, then double/halve until the one-step acceptance crosses
+    0.5. ``theta0``: (B, d); returns (B,)."""
     dtype = theta0.dtype
-    eps0 = jnp.maximum(jnp.mean(sigmas.astype(dtype)), 1e-4)
-    logp0, grad0 = value_and_grad(theta0)
+    B = theta0.shape[0]
+    eps0 = jnp.full((B,), jnp.maximum(jnp.mean(sigmas.astype(dtype)), 1e-4),
+                    dtype=dtype)
+    logp0, grad0 = vag_batch(theta0)
     r0 = jax.random.normal(key, theta0.shape, dtype=dtype)
-    joint0 = logp0 - 0.5 * jnp.dot(r0, r0)
+    joint0 = logp0 - 0.5 * _dot(r0, r0)
 
-    def probe_ratio(eps):
-        r_half = r0 + 0.5 * eps * _clip_grad(grad0)
-        theta1 = space.clamp(theta0 + eps * r_half)
-        logp1, grad1 = value_and_grad(theta1)
-        r1 = r_half + 0.5 * eps * _clip_grad(grad1)
-        joint1 = logp1 - 0.5 * jnp.dot(r1, r1)
-        return joint1 - joint0
+    def full_ratio(eps):
+        r_half = r0 + 0.5 * eps[:, None] * _clip_grad(grad0)
+        theta1 = space.clamp(theta0 + eps[:, None] * r_half)
+        logp1, grad1 = vag_batch(theta1)
+        r1 = r_half + 0.5 * eps[:, None] * _clip_grad(grad1)
+        return logp1 - 0.5 * _dot(r1, r1) - joint0
 
-    ratio = probe_ratio(eps0)
+    ratio = full_ratio(eps0)
     direction = jnp.where(ratio > jnp.log(0.5), 1.0, -1.0)
 
     def body(carry, _):
         eps, done = carry
-        ratio = probe_ratio(eps)
+        ratio = full_ratio(eps)
         crossed = jnp.where(direction > 0, ratio <= jnp.log(0.5),
                             ratio > jnp.log(0.5))
         done = done | crossed | ~jnp.isfinite(ratio)
-        eps_new = jnp.where(done, eps, eps * jnp.where(direction > 0, 2.0, 0.5))
+        eps_new = jnp.where(done, eps,
+                            eps * jnp.where(direction > 0, 2.0, 0.5))
         return (eps_new, done), None
 
-    (eps, _), _ = jax.lax.scan(body, (eps0, jnp.asarray(False)),
+    (eps, _), _ = jax.lax.scan(body, (eps0, jnp.zeros((B,), bool)),
                                None, length=max_probes)
     return jnp.clip(eps, 1e-8, 1e2)
 
@@ -192,14 +216,22 @@ def run_nuts(
     *,
     n_chains: int = 1,
     jitter: float = 0.1,
+    value_and_grad_batch: Optional[Callable] = None,
 ) -> NUTSResult:
-    """Run NUTS for an ensemble of chains (vmapped trees, scanned iterations)."""
+    """Run NUTS for an ensemble of chains (batched trees, scanned iterations).
+
+    ``value_and_grad_batch(thetas (B, d)) -> (logp (B,), grad (B, d))``
+    overrides the default ``vmap(value_and_grad(loglik))`` — pass the Pallas
+    adjoint engine (:func:`mmidv1_tpu.ops.build_objective_pallas_grad`) to
+    run the gradients through the kernel pair.
+    """
     dtype = jnp.asarray(theta0).dtype
     d = space.dim
-    vag = jax.value_and_grad(loglik)
+    if value_and_grad_batch is None:
+        value_and_grad_batch = jax.vmap(jax.value_and_grad(loglik))
 
-    def safe_vag(theta):
-        lp, g = vag(theta)
+    def safe_vag(thetas):
+        lp, g = value_and_grad_batch(thetas)
         lp = jnp.where(jnp.isfinite(lp), lp, -1e18)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
         return lp, g
@@ -209,92 +241,80 @@ def run_nuts(
     x0 = jnp.asarray(theta0, dtype=dtype)[None, :] + \
         jitter * space.sigmas.astype(dtype) * noise
     x0 = x0.at[0].set(jnp.asarray(theta0, dtype=dtype))
-    x0 = jax.vmap(space.clamp)(x0)
+    x0 = space.clamp(x0)
 
-    eps0 = jax.vmap(lambda x, k: find_reasonable_epsilon(safe_vag, space, x,
-                                                         space.sigmas, k))(
-        x0, jax.random.split(k_eps, n_chains))
+    eps0 = find_reasonable_epsilon(safe_vag, space, x0, space.sigmas, k_eps)
 
     mu = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    B = n_chains
 
-    def one_iteration(carry, xs):
+    def one_iteration(carry, k_iter):
         x, logp, grad, eps, log_eps_bar, h_bar, it, best_x, best_logp = carry
-        k_iter = xs
+        k_r, k_u, k_tree = jax.random.split(k_iter, 3)
+        r0 = jax.random.normal(k_r, x.shape, dtype=dtype)
+        joint0 = logp - 0.5 * _dot(r0, r0)
+        log_u = joint0 + jnp.log(jax.random.uniform(k_u, (B,), dtype=dtype,
+                                                    minval=1e-12))
 
-        def chain_step(x, logp, grad, eps, k):
-            k_r, k_u, k_tree = jax.random.split(k, 3)
-            r0 = jax.random.normal(k_r, x.shape, dtype=dtype)
-            joint0 = logp - 0.5 * jnp.dot(r0, r0)
-            log_u = joint0 + jnp.log(jax.random.uniform(k_u, dtype=dtype,
-                                                        minval=1e-12))
+        # doubling loop, unrolled over depth with per-chain validity masking
+        state = _Tree(x, r0, grad, x, r0, grad, x, logp,
+                      jnp.ones((B,), jnp.int32), jnp.ones((B,), jnp.int32),
+                      jnp.zeros((B,), dtype), jnp.ones((B,), dtype))
+        sample_x, sample_logp = x, logp
+        # Hoffman & Gelman Alg. 6 starts the dual-averaging accept statistic
+        # empty; a pseudo-observation (0.5, 1) would bias it toward 0.5 for
+        # shallow trees and slow step-size adaptation (round-1 advisor).
+        alpha_stat = jnp.zeros((B,), dtype)
+        n_alpha_stat = jnp.zeros((B,), dtype)
+        keys = jax.random.split(k_tree, cfg.max_tree_depth)
+        n_cum = jnp.ones((B,), dtype)
+        for j in range(cfg.max_tree_depth):
+            kv, kt, ks = jax.random.split(keys[j], 3)
+            v = jnp.where(jax.random.uniform(kv, (B,), dtype=dtype) < 0.5,
+                          -1.0, 1.0)
+            pos = v > 0
+            edge_theta = _w(pos, state.theta_plus, state.theta_minus)
+            edge_r = _w(pos, state.r_plus, state.r_minus)
+            edge_grad = _w(pos, state.grad_plus, state.grad_minus)
+            sub = _build_tree(safe_vag, space, edge_theta, edge_r, edge_grad,
+                              log_u, v, j, eps, joint0, kt)
+            valid = state.s_prime == 1
+            # Metropolis-within-doubling acceptance of the new subtree sample
+            accept_prob = sub.n_prime.astype(dtype) / jnp.maximum(n_cum, 1.0)
+            take = valid & (sub.s_prime == 1) & \
+                (jax.random.uniform(ks, (B,), dtype=dtype) < accept_prob)
+            sample_x = _w(take, sub.theta_prime, sample_x)
+            sample_logp = _w(take, sub.logp_prime, sample_logp)
+            alpha_stat = jnp.where(valid, alpha_stat + sub.alpha, alpha_stat)
+            n_alpha_stat = jnp.where(valid, n_alpha_stat + sub.n_alpha,
+                                     n_alpha_stat)
+            n_cum = jnp.where(valid, n_cum + sub.n_prime, n_cum)
 
-            # doubling loop, unrolled over depth with validity masking
-            state = _Tree(x, r0, grad, x, r0, grad, x, logp,
-                          jnp.asarray(1, jnp.int32), jnp.asarray(1, jnp.int32),
-                          jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype))
-            sample_x, sample_logp = x, logp
-            # Hoffman & Gelman Alg. 6 starts the dual-averaging accept statistic
-            # empty; a pseudo-observation (0.5, 1) would bias it toward 0.5 for
-            # shallow trees and slow step-size adaptation (round-1 advisor).
-            alpha_stat = jnp.asarray(0.0, dtype)
-            n_alpha_stat = jnp.asarray(0.0, dtype)
-            keys = jax.random.split(k_tree, cfg.max_tree_depth)
-            n_cum = jnp.asarray(1.0, dtype)
-            for j in range(cfg.max_tree_depth):
-                kv, kt, ks = jax.random.split(keys[j], 3)
-                v = jnp.where(jax.random.uniform(kv, dtype=dtype) < 0.5, -1.0, 1.0)
-                edge_theta = jnp.where(v > 0, state.theta_plus, state.theta_minus)
-                edge_r = jnp.where(v > 0, state.r_plus, state.r_minus)
-                edge_grad = jnp.where(v > 0, state.grad_plus, state.grad_minus)
-                sub = _build_tree(safe_vag, space, edge_theta, edge_r, edge_grad,
-                                  log_u, v, j, eps, joint0, kt)
-                valid = state.s_prime == 1
-                # Metropolis-within-doubling acceptance of the new subtree sample
-                accept_prob = sub.n_prime.astype(dtype) / jnp.maximum(n_cum, 1.0)
-                take = valid & (sub.s_prime == 1) & \
-                    (jax.random.uniform(ks, dtype=dtype) < accept_prob)
-                sample_x = jnp.where(take, sub.theta_prime, sample_x)
-                sample_logp = jnp.where(take, sub.logp_prime, sample_logp)
-                alpha_stat = jnp.where(valid, alpha_stat + sub.alpha, alpha_stat)
-                n_alpha_stat = jnp.where(valid, n_alpha_stat + sub.n_alpha,
-                                         n_alpha_stat)
-                n_cum = jnp.where(valid, n_cum + sub.n_prime, n_cum)
+            theta_minus = _w(valid & ~pos, sub.theta_minus, state.theta_minus)
+            r_minus = _w(valid & ~pos, sub.r_minus, state.r_minus)
+            grad_minus = _w(valid & ~pos, sub.grad_minus, state.grad_minus)
+            theta_plus = _w(valid & pos, sub.theta_plus, state.theta_plus)
+            r_plus = _w(valid & pos, sub.r_plus, state.r_plus)
+            grad_plus = _w(valid & pos, sub.grad_plus, state.grad_plus)
+            dtheta = theta_plus - theta_minus
+            no_uturn = ((_dot(dtheta, r_minus) >= 0) &
+                        (_dot(dtheta, r_plus) >= 0))
+            s_new = jnp.where(valid,
+                              sub.s_prime * no_uturn.astype(jnp.int32),
+                              state.s_prime)
+            state = state._replace(
+                theta_minus=theta_minus, r_minus=r_minus,
+                grad_minus=grad_minus, theta_plus=theta_plus, r_plus=r_plus,
+                grad_plus=grad_plus, s_prime=s_new)
 
-                theta_minus = jnp.where(valid & (v < 0), sub.theta_minus,
-                                        state.theta_minus)
-                r_minus = jnp.where(valid & (v < 0), sub.r_minus, state.r_minus)
-                grad_minus = jnp.where(valid & (v < 0), sub.grad_minus,
-                                       state.grad_minus)
-                theta_plus = jnp.where(valid & (v > 0), sub.theta_plus,
-                                       state.theta_plus)
-                r_plus = jnp.where(valid & (v > 0), sub.r_plus, state.r_plus)
-                grad_plus = jnp.where(valid & (v > 0), sub.grad_plus,
-                                      state.grad_plus)
-                dtheta = theta_plus - theta_minus
-                no_uturn = ((jnp.dot(dtheta, r_minus) >= 0) &
-                            (jnp.dot(dtheta, r_plus) >= 0))
-                s_new = jnp.where(valid,
-                                  sub.s_prime * no_uturn.astype(jnp.int32),
-                                  state.s_prime)
-                state = state._replace(
-                    theta_minus=theta_minus, r_minus=r_minus, grad_minus=grad_minus,
-                    theta_plus=theta_plus, r_plus=r_plus, grad_plus=grad_plus,
-                    s_prime=s_new)
-
-            accept_stat = alpha_stat / jnp.maximum(n_alpha_stat, 1.0)
-            new_logp, new_grad = safe_vag(sample_x)
-            # non-finite iteration -> repeat previous sample (:99-106)
-            ok = jnp.isfinite(new_logp) & (new_logp > -1e17)
-            x_out = jnp.where(ok, sample_x, x)
-            logp_out = jnp.where(ok, new_logp, logp)
-            grad_out = jnp.where(ok[..., None] if new_grad.ndim else ok,
-                                 new_grad, grad)
-            return x_out, logp_out, grad_out, accept_stat
-
-        keys = jax.random.split(k_iter, n_chains)
-        x_new, logp_new, grad_new, accept_stat = jax.vmap(chain_step)(
-            x, logp, grad, eps, keys)
+        accept_stat = alpha_stat / jnp.maximum(n_alpha_stat, 1.0)
+        new_logp, new_grad = safe_vag(sample_x)
+        # non-finite iteration -> repeat previous sample (:99-106)
+        ok = jnp.isfinite(new_logp) & (new_logp > -1e17)
+        x_new = _w(ok, sample_x, x)
+        logp_new = jnp.where(ok, new_logp, logp)
+        grad_new = _w(ok, new_grad, grad)
 
         # dual averaging (:167-181)
         in_window = it < cfg.adaptation_window
@@ -309,16 +329,16 @@ def run_nuts(
         log_eps_bar = jnp.where(in_window, log_eps_bar_new, log_eps_bar)
 
         better = logp_new > best_logp
-        best_x = jnp.where(better[:, None], x_new, best_x)
+        best_x = _w(better, x_new, best_x)
         best_logp = jnp.where(better, logp_new, best_logp)
 
-        carry = (x_new, logp_new, grad_new, eps_new, log_eps_bar, h_bar, it + 1,
-                 best_x, best_logp)
+        carry = (x_new, logp_new, grad_new, eps_new, log_eps_bar, h_bar,
+                 it + 1, best_x, best_logp)
         return carry, (x_new, logp_new, accept_stat)
 
     @jax.jit
     def run(x0, eps0, k_run):
-        logp0, grad0 = jax.vmap(safe_vag)(x0)
+        logp0, grad0 = safe_vag(x0)
         carry = (x0, logp0, grad0, eps0, jnp.log(eps0),
                  jnp.zeros((n_chains,), dtype=dtype),
                  jnp.zeros((), jnp.int32), x0, logp0)

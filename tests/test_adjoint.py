@@ -106,3 +106,22 @@ def test_adjoint_drives_mala(short_spain):
                    n_chains=4, value_and_grad_batch=vg)
     assert np.isfinite(np.asarray(res.best_logp))
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+@pytest.mark.slow
+def test_adjoint_drives_nuts(short_spain):
+    """Batch-native NUTS accepts the kernel engine as value_and_grad_batch."""
+    from mmidv1_tpu.calibration.nuts import NUTSConfig, run_nuts
+
+    space, params, data, ts, thetas = short_spain
+    vg = build_objective_pallas_grad(space, params, data, ts, substeps=3,
+                                     tableau="cash_karp",
+                                     constraint_mode=REFLECT,
+                                     dtype=jnp.float64, block_b=4,
+                                     interpret=True)
+    cfg = NUTSConfig(iterations=3, adaptation_window=2, max_tree_depth=2)
+    res = run_nuts(lambda th: vg.value_batch(th[None])[0], space,
+                   space.extract(params), jax.random.PRNGKey(2), cfg,
+                   n_chains=4, value_and_grad_batch=vg)
+    assert np.isfinite(float(res.best_logp))
+    assert np.isfinite(np.asarray(res.samples)).all()
