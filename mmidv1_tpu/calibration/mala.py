@@ -220,9 +220,14 @@ def adapt_preconditioner(state: MALAState, cfg: MALAConfig) -> MALAState:
     B, d = state.x.shape
     mean = jnp.mean(state.x, axis=0)
     centered = state.x - mean
-    cov = (centered.T @ centered) / (B - 1)
+    # max(B-1, 1): a single-chain ensemble would otherwise produce a 0/0 NaN
+    # covariance that poisons the Langevin drift permanently.
+    cov = (centered.T @ centered) / max(B - 1, 1)
     cov = cov + cfg.regularization_epsilon * jnp.eye(d, dtype=state.x.dtype)
-    chol, _ok = _safe_cholesky(cov, cfg.regularization_epsilon, state.chol)
+    chol, ok = _safe_cholesky(cov, cfg.regularization_epsilon, state.chol)
+    # Commit cov only when the factorization succeeded, so a fallback keeps
+    # cov and chol consistent (chol stays the previous factor on failure).
+    cov = jnp.where(ok, cov, state.cov)
     return state._replace(cov=cov, chol=chol)
 
 

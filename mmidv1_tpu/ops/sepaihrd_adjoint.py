@@ -527,6 +527,10 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
     def ll_from_thetas(thetas):
         B = thetas.shape[0]
         lanes = max(1, min(block_b, B) // 2)
+        # Round DOWN to a power of two so callers with many distinct batch
+        # sizes (e.g. shrinking ensembles) reuse O(log block_b) compiled
+        # engines instead of accumulating one per exact width.
+        lanes = 1 << (lanes.bit_length() - 1)
         half = -(-B // 2)
         B2 = -(-half // lanes) * lanes
         pad = 2 * B2 - B

@@ -7,7 +7,8 @@ from . import multihost
 from .ensemble import (run_mala_gspmd, run_mh_gspmd, run_mh_sharded,
                        run_pso_sharded, run_pt_gspmd)
 from .mesh import (CHAINS_AXIS, batch_sharding, check_divisible, ensemble_mesh,
-                   replicated_sharding, shard_ensemble_pytree)
+                   replicated_sharding, shard_ensemble_pytree,
+                   shard_state_fields)
 
 __all__ = [
     "CHAINS_AXIS",
@@ -16,6 +17,7 @@ __all__ = [
     "ensemble_mesh",
     "replicated_sharding",
     "shard_ensemble_pytree",
+    "shard_state_fields",
     "run_mh_gspmd",
     "run_mh_sharded",
     "run_pso_sharded",

@@ -33,7 +33,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..calibration.mh import MHConfig, MHResult, MHState, run_mh
 from ..calibration.pso import PSOConfig, PSOResult, init_pso_state, run_pso
 from ..calibration.param_space import ParameterSpace
-from .mesh import check_divisible, ensemble_mesh, shard_ensemble_pytree
+from .mesh import check_divisible, ensemble_mesh, shard_state_fields
+
+# Chain-batched fields of each sampler state (everything else — covariance
+# factors, counters — is replicated). Sharding by NAME, not shape: a shape
+# heuristic mis-shards the (d, d) covariance whenever d equals the chain
+# count.
+_MH_BATCH_FIELDS = ("x", "logp", "log_scale", "best_x", "best_logp",
+                    "accept_count")
+_PSO_BATCH_FIELDS = ("x", "v", "fitness", "pbest_x", "pbest_f",
+                     "success_count", "total_updates")
+_MALA_BATCH_FIELDS = ("x", "logp", "grad", "log_eps", "best_x", "best_logp",
+                      "accept_count")
+_PT_BATCH_FIELDS = ("x", "logp", "log_scale", "best_x", "best_logp",
+                    "accept_count")
 
 # PartitionSpec pytrees matching MHState / MHResult: batch-leading leaves split
 # over the chains axis, shared leaves replicated.
@@ -133,8 +146,8 @@ def run_mh_gspmd(
     state0 = init_mh_state(space, jnp.asarray(theta0), loglik_batch, k_init,
                            n_chains, jitter=jitter, initial_cov=initial_cov,
                            reg_eps=cfg.regularization_epsilon)
-    state0 = shard_ensemble_pytree(state0, mesh, n_chains,
-                                   axis_name=mesh.axis_names[0])
+    state0 = shard_state_fields(state0, mesh, _MH_BATCH_FIELDS,
+                                axis_name=mesh.axis_names[0])
     # Re-enter run_mh with the sharded state; shardings propagate through jit.
     return run_mh(loglik, space, jnp.asarray(theta0), key, cfg,
                   n_chains=n_chains, initial_state=state0)
@@ -168,8 +181,8 @@ def run_pso_sharded(
     # an unsharded run_pso(key) — exact parity modulo reduction order.
     k_init, _k_run = jax.random.split(key)
     state0 = init_pso_state(space, k_init, cfg, fitness_batch, theta0, dtype)
-    state0 = shard_ensemble_pytree(state0, mesh, cfg.swarm_size,
-                                   axis_name=mesh.axis_names[0])
+    state0 = shard_state_fields(state0, mesh, _PSO_BATCH_FIELDS,
+                                axis_name=mesh.axis_names[0])
     return run_pso(loglik, space, key, cfg, theta0=theta0, dtype=dtype,
                    initial_state=state0)
 
@@ -197,8 +210,7 @@ def run_pt_gspmd(
     covariance state is replicated. ``n_chains`` is the per-rung chain
     count and must divide over the mesh.
     """
-    from jax.sharding import NamedSharding
-    from ..calibration.tempering import PTConfig, init_pt_state, run_pt
+    from ..calibration.tempering import init_pt_state, run_pt
 
     if mesh is None:
         mesh = ensemble_mesh()
@@ -215,16 +227,10 @@ def run_pt_gspmd(
                            jitter=jitter, initial_cov=initial_cov,
                            reg_eps=cfg.regularization_epsilon)
 
-    chain_axis_1 = NamedSharding(mesh, P(None, axis))
-    rep = NamedSharding(mesh, P())
-
-    def place(leaf):
-        a = jnp.asarray(leaf)
-        if a.ndim >= 2 and a.shape[0] == cfg.n_rungs and a.shape[1] == n_chains:
-            return jax.device_put(a, chain_axis_1)
-        return jax.device_put(a, rep)
-
-    state0 = jax.tree_util.tree_map(place, state0)
+    # (K, N, ...) leaves: split the chain axis (dim 1) over the mesh; the
+    # (K, d, d) covariance state and swap counters are replicated.
+    state0 = shard_state_fields(state0, mesh, _PT_BATCH_FIELDS,
+                                axis_name=axis, batch_dim=1)
     return run_pt(loglik, space, jnp.asarray(theta0), key, cfg,
                   n_chains=n_chains, initial_state=state0,
                   loglik_batch=loglik_batch)
@@ -263,8 +269,8 @@ def run_mala_gspmd(
     state0 = init_mala_state(space, jnp.asarray(theta0), eval_batch, k_init,
                              n_chains, jitter=jitter, initial_cov=initial_cov,
                              cfg=cfg)
-    state0 = shard_ensemble_pytree(state0, mesh, n_chains,
-                                   axis_name=mesh.axis_names[0])
+    state0 = shard_state_fields(state0, mesh, _MALA_BATCH_FIELDS,
+                                axis_name=mesh.axis_names[0])
     return run_mala(loglik, space, jnp.asarray(theta0), key, cfg,
                     n_chains=n_chains, initial_state=state0,
                     value_and_grad_batch=value_and_grad_batch)

@@ -78,6 +78,32 @@ def shard_ensemble_pytree(tree, mesh: Mesh, batch_size: int,
     return jax.tree_util.tree_map(place, tree)
 
 
+def shard_state_fields(state, mesh: Mesh, batch_fields: Sequence[str],
+                       axis_name: str = CHAINS_AXIS, batch_dim: int = 0):
+    """device_put a NamedTuple state, sharding NAMED fields over the mesh.
+
+    Unlike :func:`shard_ensemble_pytree`'s shape heuristic (which can
+    mis-shard a ``(d, d)`` covariance when ``d`` happens to equal the chain
+    count), this places exactly the fields named in ``batch_fields`` with the
+    batch axis ``batch_dim`` split over the mesh, and replicates everything
+    else.
+    """
+    spec = [None] * (batch_dim + 1)
+    spec[batch_dim] = axis_name
+    split = NamedSharding(mesh, P(*spec))
+    rep = replicated_sharding(mesh)
+    batch_fields = set(batch_fields)
+    unknown = batch_fields - set(state._fields)
+    if unknown:
+        raise ValueError(f"unknown state fields: {sorted(unknown)}")
+    placed = {
+        name: jax.device_put(jax.numpy.asarray(getattr(state, name)),
+                             split if name in batch_fields else rep)
+        for name in state._fields
+    }
+    return type(state)(**placed)
+
+
 def check_divisible(n: int, mesh: Mesh, what: str = "batch") -> int:
     n_dev = mesh.devices.size
     if n % n_dev != 0:

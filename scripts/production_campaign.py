@@ -151,7 +151,7 @@ def main(argv=None) -> int:
             start = int(np.asarray(state.step)) // per_segment
             print(f"resuming PT campaign at step {int(np.asarray(state.step))}")
         runner = make_pt_runner(space, pt_cfg, ll_b, dtype=dtype)
-        all_s, all_lp, res = [], [], None
+        res = None
         for s in range(start, args.segments):
             k_init, k_run = jax.random.split(
                 jax.random.fold_in(jax.random.PRNGKey(args.seed), s))
@@ -162,14 +162,25 @@ def main(argv=None) -> int:
                                       initial_cov=initial_cov)
             res = runner(state, k_run)
             state = res.final_state
-            all_s.append(np.asarray(res.samples))
-            all_lp.append(np.asarray(res.sample_logps))
+            # Persist each segment's cold-rung draws next to the checkpoint
+            # so a resumed campaign's posterior covers pre-resume segments.
+            np.savez_compressed(
+                os.path.join(args.out, f"pt_segment_{s:04d}.npz"),
+                samples=np.asarray(res.samples),
+                sample_logps=np.asarray(res.sample_logps))
             save_pt_state(ckpt, state)
         if res is None:
             raise SystemExit("PT checkpoint already covers all segments")
+        import glob
+        seg_files = sorted(glob.glob(os.path.join(args.out,
+                                                  "pt_segment_*.npz")))
+        with_segs = [np.load(f) for f in seg_files]
         res = res._replace(
-            samples=jnp.asarray(np.concatenate(all_s, axis=0)),
-            sample_logps=jnp.asarray(np.concatenate(all_lp, axis=0)))
+            samples=jnp.asarray(
+                np.concatenate([z["samples"] for z in with_segs], axis=0)),
+            sample_logps=jnp.asarray(
+                np.concatenate([z["sample_logps"] for z in with_segs],
+                               axis=0)))
         swap_rate = np.asarray(res.swap_rate)
         print(f"swap rates per rung pair: {np.round(swap_rate, 3)}")
     else:

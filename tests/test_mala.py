@@ -57,6 +57,24 @@ def test_mala_reproducible(gaussian_problem):
                                   np.asarray(r2.samples))
 
 
+def test_mala_single_chain_survives_adaptation(gaussian_problem):
+    """n_chains=1: the ensemble covariance is degenerate (0/0 without the
+    max(B-1, 1) guard) — the chain must keep moving past the first
+    preconditioner adaptation instead of stalling on a NaN drift."""
+    loglik, space, mu, _ = gaussian_problem
+    cfg = MALAConfig(iterations=200, burn_in=0, adaptation_period=20,
+                     thinning=1, initial_step_size=0.3)
+    res = run_mala(loglik, space, jnp.zeros(3), jax.random.PRNGKey(5), cfg,
+                   n_chains=1)
+    samples = np.asarray(res.samples)
+    assert np.isfinite(samples).all()
+    assert np.isfinite(np.asarray(res.final_cov)).all()
+    # accepts continue AFTER the adaptation step (a NaN-poisoned drift
+    # rejects everything from step 20 on)
+    post_adapt = samples[50:, 0, :]
+    assert np.unique(post_adapt, axis=0).shape[0] > 10
+
+
 def test_mala_rejects_out_of_support(gaussian_problem):
     """A target whose mode lies outside the box: chains stay inside."""
     _, _, mu, cov = gaussian_problem

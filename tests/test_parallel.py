@@ -204,6 +204,60 @@ def test_mh_sharded_on_sepaihrd_objective(spain_params):
                                np.asarray(ref.samples), rtol=1e-7, atol=1e-9)
 
 
+@pytest.fixture(scope="module")
+def gaussian_problem_8d():
+    """8-d target whose dimension EQUALS the chain count used below — the
+    shape-collision case where a (d, d) covariance must stay replicated."""
+    mu = jnp.linspace(-0.4, 0.4, 8)
+
+    def loglik(theta):
+        return -0.5 * jnp.sum((theta - mu) ** 2)
+
+    from mmidv1_tpu.params import make_params
+    template = make_params(N=[1e6] * 4, M_baseline=np.ones((4, 4)))
+    names = ["beta", "theta", "sigma", "gamma_p", "gamma_A", "gamma_I",
+             "gamma_H", "gamma_ICU"]
+    bounds = {n: (-5.0, 5.0) for n in names}
+    sigmas = {n: 0.3 for n in names}
+    space = ParameterSpace.create(names, bounds, sigmas, template)
+    return loglik, space, mu
+
+
+def test_mala_gspmd_dim_equals_chains(gaussian_problem_8d):
+    """d == n_chains: the (d, d) preconditioner must be replicated, not
+    mistaken for a chain-batched leaf (field-name sharding regression)."""
+    from mmidv1_tpu.calibration.mala import MALAConfig, run_mala
+    from mmidv1_tpu.parallel import run_mala_gspmd
+
+    loglik, space, mu = gaussian_problem_8d
+    cfg = MALAConfig(iterations=40, burn_in=10, adaptation_period=20,
+                     thinning=4, initial_step_size=0.3)
+    theta0 = jnp.zeros(8)
+    key = jax.random.PRNGKey(29)
+    ref = run_mala(loglik, space, theta0, key, cfg, n_chains=8)
+    shd = run_mala_gspmd(loglik, space, theta0, key, cfg, n_chains=8,
+                         mesh=ensemble_mesh())
+    np.testing.assert_allclose(np.asarray(shd.samples),
+                               np.asarray(ref.samples), rtol=1e-9, atol=1e-9)
+
+
+def test_pt_gspmd_dim_equals_chains(gaussian_problem_8d):
+    """d == n_chains for PT: (K, d, d) covariance leaves must be replicated."""
+    from mmidv1_tpu.calibration.tempering import PTConfig, run_pt
+    from mmidv1_tpu.parallel import run_pt_gspmd
+
+    loglik, space, mu = gaussian_problem_8d
+    cfg = PTConfig(iterations=30, burn_in=10, adaptation_period=10, thinning=4,
+                   n_rungs=2, beta_min=0.2)
+    theta0 = jnp.zeros(8)
+    key = jax.random.PRNGKey(31)
+    ref = run_pt(loglik, space, theta0, key, cfg, n_chains=8)
+    shd = run_pt_gspmd(loglik, space, theta0, key, cfg, n_chains=8,
+                       mesh=ensemble_mesh())
+    np.testing.assert_allclose(np.asarray(shd.samples),
+                               np.asarray(ref.samples), rtol=1e-9, atol=1e-9)
+
+
 def test_mala_gspmd_matches_unsharded(gaussian_problem):
     """MALA with the chain axis GSPMD-sharded: identical samples to the
     unsharded run (drift/accept are chain-local; the preconditioner

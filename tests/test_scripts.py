@@ -116,3 +116,21 @@ def test_production_campaign_pt_smoke(tmp_path):
     trace = (tmp_path / "posterior_trace.csv").read_text().splitlines()
     assert len(trace) > 1
     assert (tmp_path / "campaign_checkpoint_pt.npz").exists()
+    # per-segment cold-rung draws are persisted next to the checkpoint
+    assert (tmp_path / "pt_segment_0000.npz").exists()
+    assert (tmp_path / "pt_segment_0001.npz").exists()
+
+    # Resume with more segments: the final posterior must cover BOTH the
+    # pre-resume and post-resume segments (the checkpoint alone only carries
+    # the final chain state).
+    n_rows_before = len(trace) - 1
+    rc = production_campaign.main([
+        "--chains", "12", "--rungs", "3", "--iterations", "18",
+        "--segments", "3", "--burn-in", "2", "--thinning", "4",
+        "--substeps", "2", "--dtype", "float64",
+        "--out", str(tmp_path), "--skip-report"])
+    assert rc == 0
+    trace2 = (tmp_path / "posterior_trace.csv").read_text().splitlines()
+    assert len(trace2) - 1 > n_rows_before  # old segments retained + new ones
+    meta2 = json.loads((tmp_path / "campaign_metadata.json").read_text())
+    assert meta2["stored_samples"] > meta["stored_samples"]
