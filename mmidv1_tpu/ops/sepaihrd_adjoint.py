@@ -12,8 +12,10 @@ trade, sized for VMEM):
 - the FORWARD kernel (a day-indexed variant of
   :func:`sepaihrd_pallas.fused_objective`) additionally writes the state at
   every chunk boundary (``L_CHUNK`` = 24 daily intervals) to a small
-  ``(n_chunks*88, B2)`` output — 14 checkpoints instead of 326 day states,
-  so the buffer block stays VMEM-resident (no HBM DMA programming).
+  ``(n_chunks*80, B2)`` output — 14 checkpoints instead of 326 day states,
+  so the buffer block stays VMEM-resident (no HBM DMA programming). Both
+  kernels integrate the R-DROPPED 80-row state (``_rhs80``): R is absorbing,
+  unobserved, and feeds nothing, so dropping it is exact.
 - the BACKWARD kernel walks chunks in reverse (a static Python loop — same
   codegen footprint as the forward's per-run loops). Per chunk: phase 1
   re-integrates the chunk from its checkpoint, storing the ~25 day states in
@@ -52,10 +54,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
-from .sepaihrd_pallas import (_EPS, _PARAM_ORDER, N_PARAM_ROWS, _CUMH,
-                              _CUMICU, _D, make_interval_fn)
+from .sepaihrd_pallas import (_EPS, _PARAM_ORDER, N_PARAM_ROWS, _rhs80,
+                              make_interval_fn)
 
 L_CHUNK = 24   # days per backward chunk (VMEM day-state scratch sizing)
+
+# The adjoint kernels integrate the R-DROPPED 80-row state (see _rhs80): R
+# is absorbing, unobserved, and feeds nothing, so its value, day states, and
+# adjoint are all identically irrelevant. The 9% row cut on every day-state
+# buffer is what lets the backward kernel run at 512 lanes.
+_ROWS = 80
+_D80, _CUMH80, _CUMICU80 = 7, 8, 9   # block indices in the 80-row layout
 
 
 def _day_beta(betarun_ref, runmap_ref, t):
@@ -79,25 +88,25 @@ def _day_ov(ov_t_ref, ov_b_ref, jc):
                             ov_b_ref[pl.ds(jc, 1), :]], axis=0)   # (2, 48)
 
 
-def _cum_rows(y88):
-    return (y88[8 * _D: 8 * _D + 8], y88[8 * _CUMH: 8 * _CUMH + 8],
-            y88[8 * _CUMICU: 8 * _CUMICU + 8])
+def _cum_rows(y80):
+    return (y80[8 * _D80: 8 * _D80 + 8], y80[8 * _CUMH80: 8 * _CUMH80 + 8],
+            y80[8 * _CUMICU80: 8 * _CUMICU80 + 8])
 
 
 def _scatter_cum(vals):
     """Place three (8, Bt) row-blocks at the D/CumH/CumICU offsets of a zero
-    (88, Bt) array. D/CumH/CumICU are compartments 8/9/10 — the LAST three
-    8-row blocks — so the scatter is a concat (Mosaic has no lowering for
-    dynamic_update_slice on values)."""
-    assert (_D, _CUMH, _CUMICU) == (8, 9, 10)
+    (80, Bt) array. In the R-dropped layout they are blocks 7/8/9 — the LAST
+    three 8-row blocks — so the scatter is a concat (Mosaic has no lowering
+    for dynamic_update_slice on values)."""
+    assert (_D80, _CUMH80, _CUMICU80) == (7, 8, 9)
     d, ch, ci = vals
-    zeros = jnp.zeros((64,) + d.shape[1:], d.dtype)
+    zeros = jnp.zeros((56,) + d.shape[1:], d.dtype)
     return jnp.concatenate([zeros, d, ch, ci], axis=0)
 
 
 def _make_fwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
                      n_chunks):
-    interval = make_interval_fn(substeps, tableau)
+    interval = make_interval_fn(substeps, tableau, rhs=_rhs80)
 
     def kernel(y0_ref, params_ref, betarun_ref, M_ref, ov_t_ref, ov_b_ref,
                runmap_ref, ll_ref, bounds_ref):
@@ -129,7 +138,7 @@ def _make_fwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
 
             @pl.when(t % L_CHUNK == 0)
             def _save():
-                bounds_ref[pl.ds((t // L_CHUNK) * 88, 88), :] = y
+                bounds_ref[pl.ds((t // L_CHUNK) * _ROWS, _ROWS), :] = y
 
             prev = _cum_rows(y)
             y2 = interval(y, dict(prm,
@@ -161,7 +170,8 @@ def _make_bwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
     # one substep's stage states are live at a time (peak-VMEM knob;
     # jax.checkpoint's remat2 primitive has no Mosaic lowering, so the
     # rematerialization is spelled out below)
-    substep = make_interval_fn(substeps, tableau, remat=True)
+    substep = make_interval_fn(substeps, tableau, remat=True,
+                               rhs=_rhs80)
     prm_names = list(_PARAM_ORDER)
 
     def kernel(params_ref, betarun_ref, M_ref, ov_t_ref, ov_b_ref,
@@ -221,18 +231,17 @@ def _make_bwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
                 d_cur.append(d_inc)
             return tuple(d_cur)
 
-        zeros88 = jnp.zeros((88, Bt), dt_)
-        lam = zeros88
+        lam = jnp.zeros((_ROWS, Bt), dt_)
         d_prm_acc = tuple(jnp.zeros((8, Bt), dt_) for _ in prm_names)
         dbetarun_ref[:] = jnp.zeros_like(dbetarun_ref)
 
         for c in range(n_chunks - 1, -1, -1):
-            y_start = bounds_ref[88 * c: 88 * (c + 1), :]
+            y_start = bounds_ref[_ROWS * c: _ROWS * (c + 1), :]
 
             # phase 1: recompute the chunk's day states into scratch
             def fwd_body(i, y, c=c):
                 t = jnp.int32(c * L_CHUNK) + i
-                days_ref[pl.ds(i * 88, 88), :] = y
+                days_ref[pl.ds(i * _ROWS, _ROWS), :] = y
                 valid = t < jnp.int32(n_intervals)
                 y2 = interval_fn(y, prm_vals,
                                  _day_beta(betarun_ref, runmap_ref, t))
@@ -240,7 +249,7 @@ def _make_bwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
 
             y_end = jax.lax.fori_loop(jnp.int32(0), jnp.int32(L_CHUNK),
                                       fwd_body, y_start)
-            days_ref[pl.ds(L_CHUNK * 88, 88), :] = y_end
+            days_ref[pl.ds(L_CHUNK * _ROWS, _ROWS), :] = y_end
 
             # phase 2: reverse sweep over the chunk's days
             def bwd_body(i, carry, c=c):
@@ -248,8 +257,8 @@ def _make_bwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
                 k = jnp.int32(L_CHUNK - 1) - i
                 t = jnp.int32(c * L_CHUNK) + k
                 valid = t < jnp.int32(n_intervals)
-                y_t = days_ref[pl.ds(k * 88, 88), :]
-                y_t1 = days_ref[pl.ds((k + 1) * 88, 88), :]
+                y_t = days_ref[pl.ds(k * _ROWS, _ROWS), :]
+                y_t1 = days_ref[pl.ds((k + 1) * _ROWS, _ROWS), :]
                 r = runmap_ref[t]
                 beta8 = betarun_ref[pl.ds(8 * r, 8), :]
 
@@ -323,11 +332,11 @@ def _fwd_call(y0_pack, param_pack, betarun_pack, M2, ov_t, ov_b, runmap, *,
     ll, bounds = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tile(88), tile(N_PARAM_ROWS), tile(betarun_pack.shape[0]),
+        in_specs=[tile(_ROWS), tile(N_PARAM_ROWS), tile(betarun_pack.shape[0]),
                   rep(8, 8), rep(T_obs, 48), rep(T_obs, 48), smem],
-        out_specs=(tile(2), tile(n_chunks * 88)),
+        out_specs=(tile(2), tile(n_chunks * _ROWS)),
         out_shape=(jax.ShapeDtypeStruct((2, B2), dtype),
-                   jax.ShapeDtypeStruct((n_chunks * 88, B2), dtype)),
+                   jax.ShapeDtypeStruct((n_chunks * _ROWS, B2), dtype)),
         interpret=interpret,
     )(y0_pack, param_pack, betarun_pack, M2, ov_t, ov_b, runmap)
     return ll, bounds
@@ -364,13 +373,13 @@ def _bwd_call(param_pack, betarun_pack, M2, ov_t, ov_b, bounds, g_ll,
         grid=grid,
         in_specs=[tile(N_PARAM_ROWS), tile(betarun_pack.shape[0]),
                   rep(8, 8), rep(T_obs, 48), rep(T_obs, 48),
-                  tile(n_chunks * 88), tile(2), smem],
-        out_specs=(tile(88), tile(N_PARAM_ROWS),
+                  tile(n_chunks * _ROWS), tile(2), smem],
+        out_specs=(tile(_ROWS), tile(N_PARAM_ROWS),
                    tile(betarun_pack.shape[0])),
-        out_shape=(jax.ShapeDtypeStruct((88, B2), dtype),
+        out_shape=(jax.ShapeDtypeStruct((_ROWS, B2), dtype),
                    jax.ShapeDtypeStruct((N_PARAM_ROWS, B2), dtype),
                    jax.ShapeDtypeStruct(betarun_pack.shape, dtype)),
-        scratch_shapes=[pltpu.VMEM(((L_CHUNK + 1) * 88, block_lanes), dtype)],
+        scratch_shapes=[pltpu.VMEM(((L_CHUNK + 1) * _ROWS, block_lanes), dtype)],
         interpret=interpret,
     )(param_pack, betarun_pack, M2, ov_t, ov_b, bounds, g_ll, runmap)
     return dy0, dparams, dbetarun
@@ -397,15 +406,26 @@ def make_fused_objective_vjp(M2, ov_tables, runmap, *, n_intervals, T_obs,
                   interpret=interpret)
     bwd_kw = dict(fwd_kw, block_lanes=bwd_block_lanes)
 
+    # The kernels run the R-dropped 80-row state; the public interface stays
+    # the full 88-row pack. R occupies rows 56..63 (block 7); its cotangent
+    # is identically zero.
+    def _to80(y88):
+        return jnp.concatenate([y88[:56], y88[64:]], axis=0)
+
+    def _to88(dy80):
+        return jnp.concatenate(
+            [dy80[:56], jnp.zeros((8,) + dy80.shape[1:], dy80.dtype),
+             dy80[56:]], axis=0)
+
     @jax.custom_vjp
     def f(y0_pack, param_pack, betarun_pack):
-        ll, _ = _fwd_call(y0_pack, param_pack, betarun_pack, M2, ov_t, ov_b,
-                          runmap, **fwd_kw)
+        ll, _ = _fwd_call(_to80(y0_pack), param_pack, betarun_pack, M2,
+                          ov_t, ov_b, runmap, **fwd_kw)
         return ll
 
     def f_fwd(y0_pack, param_pack, betarun_pack):
-        ll, bounds = _fwd_call(y0_pack, param_pack, betarun_pack, M2, ov_t,
-                               ov_b, runmap, **fwd_kw)
+        ll, bounds = _fwd_call(_to80(y0_pack), param_pack, betarun_pack, M2,
+                               ov_t, ov_b, runmap, **fwd_kw)
         return ll, (param_pack, betarun_pack, bounds)
 
     def f_bwd(res, g_ll):
@@ -413,7 +433,7 @@ def make_fused_objective_vjp(M2, ov_tables, runmap, *, n_intervals, T_obs,
         dy0, dparams, dbetarun = _bwd_call(param_pack, betarun_pack, M2,
                                            ov_t, ov_b, bounds, g_ll, runmap,
                                            **bwd_kw)
-        return dy0, dparams, dbetarun
+        return _to88(dy0), dparams, dbetarun
 
     f.defvjp(f_fwd, f_bwd)
     return f

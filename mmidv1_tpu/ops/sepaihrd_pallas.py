@@ -124,7 +124,22 @@ def _rhs88(y88, prm, M):
     return jnp.concatenate(_rhs(y, prm, M), axis=0)
 
 
-def make_interval_fn(substeps: int, tableau: str, remat: bool = False):
+def _rhs80(y80, prm, M):
+    """RHS of the R-DROPPED fused state: 10 compartment blocks (80, Bt) —
+    S,E,P,A,I,H,ICU at blocks 0-6, D/CumH/CumICU at 7/8/9. R is an absorbing
+    compartment nothing depends on and nothing observes, so the adjoint
+    kernels integrate without it (VMEM: 80-row day states instead of 88 —
+    the savings that buy the backward kernel 512 lanes). Physics stays
+    shared with :func:`_rhs` (which never reads ``y[_R]``)."""
+    y11 = (tuple(y80[8 * c: 8 * c + 8] for c in range(7))
+           + (y80[0:8],)   # placeholder R block; _rhs never reads it
+           + tuple(y80[8 * c: 8 * c + 8] for c in range(7, 10)))
+    d = _rhs(y11, prm, M)
+    return jnp.concatenate(d[:7] + d[8:], axis=0)
+
+
+def make_interval_fn(substeps: int, tableau: str, remat: bool = False,
+                     rhs=None):
     """One daily interval of fused-state fixed-grid RK:
     ``(y88, prm, M) -> y88'``. Shared by the forward kernel and the adjoint
     kernel (:mod:`mmidv1_tpu.ops.sepaihrd_adjoint`), which differentiates it
@@ -133,14 +148,18 @@ def make_interval_fn(substeps: int, tableau: str, remat: bool = False):
     ``remat=True`` wraps each substep in ``jax.checkpoint`` so the vjp holds
     only one substep's stage states at a time (the peak-VMEM knob of the
     adjoint kernel) — bitwise-identical forward states: the first stage of a
-    substep is exactly ``rhs(y)`` whether carried (FSAL) or recomputed."""
+    substep is exactly ``rhs(y)`` whether carried (FSAL) or recomputed.
+
+    ``rhs`` defaults to the full 88-row :func:`_rhs88`; pass :func:`_rhs80`
+    for the adjoint kernels' R-dropped 80-row state."""
     tab = get_tableau(tableau)
     h = 1.0 / substeps
     a_tab, b_tab, fsal = tab.a, tab.b, tab.fsal
     stages = tab.stages
+    _rhs_fused = _rhs88 if rhs is None else rhs
 
     def one_substep(y88, prm, M):
-        ks = [_rhs88(y88, prm, M)]
+        ks = [_rhs_fused(y88, prm, M)]
         for i in range(1, stages):
             yi = y88
             for j in range(i):
@@ -148,7 +167,7 @@ def make_interval_fn(substeps: int, tableau: str, remat: bool = False):
                     # Python float: a NumPy f64 scalar would promote the
                     # f32 state to f64 under jax_enable_x64
                     yi = yi + float(h * a_tab[i, j]) * ks[j]
-            ks.append(_rhs88(yi, prm, M))
+            ks.append(_rhs_fused(yi, prm, M))
         y_new = y88
         for i in range(stages):
             if b_tab[i] != 0.0:
@@ -166,7 +185,7 @@ def make_interval_fn(substeps: int, tableau: str, remat: bool = False):
         # fused-state RK: each stage/update axpy is ONE (88, Bt) op instead
         # of 11 per-compartment ops (measured ~8% faster at cash_karp ss=3;
         # numerically identical — same elementwise ops in the same order)
-        k = _rhs88(y88, prm, M)
+        k = _rhs_fused(y88, prm, M)
         for _ in range(substeps):
             ks = [k]
             for i in range(1, stages):
@@ -174,13 +193,13 @@ def make_interval_fn(substeps: int, tableau: str, remat: bool = False):
                 for j in range(i):
                     if a_tab[i, j] != 0.0:
                         yi = yi + float(h * a_tab[i, j]) * ks[j]
-                ks.append(_rhs88(yi, prm, M))
+                ks.append(_rhs_fused(yi, prm, M))
             y_new = y88
             for i in range(stages):
                 if b_tab[i] != 0.0:
                     y_new = y_new + float(h * b_tab[i]) * ks[i]
             y88 = y_new
-            k = ks[-1] if fsal else _rhs88(y88, prm, M)
+            k = ks[-1] if fsal else _rhs_fused(y88, prm, M)
         return y88
 
     return dopri_interval
