@@ -217,6 +217,7 @@ def run_nuts(
     n_chains: int = 1,
     jitter: float = 0.1,
     value_and_grad_batch: Optional[Callable] = None,
+    chain_sharding=None,
 ) -> NUTSResult:
     """Run NUTS for an ensemble of chains (batched trees, scanned iterations).
 
@@ -224,6 +225,12 @@ def run_nuts(
     overrides the default ``vmap(value_and_grad(loglik))`` — pass the Pallas
     adjoint engine (:func:`mmidv1_tpu.ops.build_objective_pallas_grad`) to
     run the gradients through the kernel pair.
+
+    ``chain_sharding`` (a ``NamedSharding`` splitting the leading axis over a
+    mesh) places the initial ensemble state; XLA then propagates the chain
+    partitioning through the whole scanned tree program (GSPMD — every tree
+    operation is chain-local, so no collectives are needed until the final
+    best-chain argmax). Use :func:`mmidv1_tpu.parallel.run_nuts_gspmd`.
     """
     dtype = jnp.asarray(theta0).dtype
     d = space.dim
@@ -243,7 +250,11 @@ def run_nuts(
     x0 = x0.at[0].set(jnp.asarray(theta0, dtype=dtype))
     x0 = space.clamp(x0)
 
+    if chain_sharding is not None:
+        x0 = jax.device_put(x0, chain_sharding)
     eps0 = find_reasonable_epsilon(safe_vag, space, x0, space.sigmas, k_eps)
+    if chain_sharding is not None:
+        eps0 = jax.device_put(eps0, chain_sharding)
 
     mu = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75

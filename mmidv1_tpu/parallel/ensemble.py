@@ -236,6 +236,37 @@ def run_pt_gspmd(
                   loglik_batch=loglik_batch)
 
 
+def run_nuts_gspmd(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    theta0: jnp.ndarray,
+    key: jax.Array,
+    cfg,
+    *,
+    n_chains: int,
+    mesh: Optional[Mesh] = None,
+    jitter: float = 0.1,
+    value_and_grad_batch: Optional[Callable] = None,
+):
+    """Batch-native NUTS with the chain axis GSPMD-sharded over the mesh.
+
+    Every tree operation (leapfrog, masked joins, U-turn tests) is
+    chain-local, so the scanned program partitions with zero collectives;
+    only the final best-chain argmax reduces across shards. Pass the Pallas
+    adjoint engine as ``value_and_grad_batch`` on TPU meshes — each device
+    runs the kernel pair on its local chain shard."""
+    from jax.sharding import NamedSharding
+    from ..calibration.nuts import run_nuts
+
+    if mesh is None:
+        mesh = ensemble_mesh()
+    check_divisible(n_chains, mesh, "n_chains")
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return run_nuts(loglik, space, theta0, key, cfg, n_chains=n_chains,
+                    jitter=jitter, value_and_grad_batch=value_and_grad_batch,
+                    chain_sharding=sharding)
+
+
 def run_mala_gspmd(
     loglik: Callable[[jnp.ndarray], jnp.ndarray],
     space: ParameterSpace,

@@ -258,6 +258,28 @@ def test_pt_gspmd_dim_equals_chains(gaussian_problem_8d):
                                np.asarray(ref.samples), rtol=1e-9, atol=1e-9)
 
 
+def test_nuts_gspmd_matches_unsharded(gaussian_problem):
+    """NUTS with the chain axis GSPMD-sharded: identical samples to the
+    unsharded run (tree building is chain-local; only the final best-chain
+    argmax reduces across shards)."""
+    from mmidv1_tpu.calibration.nuts import NUTSConfig, run_nuts
+    from mmidv1_tpu.parallel import run_nuts_gspmd
+
+    loglik, space, mu, sd = gaussian_problem
+    cfg = NUTSConfig(iterations=20, adaptation_window=8, max_tree_depth=3)
+    theta0 = jnp.zeros(3)
+    key = jax.random.PRNGKey(27)
+    ref = run_nuts(loglik, space, theta0, key, cfg, n_chains=16)
+    shd = run_nuts_gspmd(loglik, space, theta0, key, cfg, n_chains=16,
+                         mesh=ensemble_mesh())
+    np.testing.assert_allclose(np.asarray(shd.samples),
+                               np.asarray(ref.samples), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(shd.best_logp),
+                               np.asarray(ref.best_logp), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(shd.step_sizes),
+                               np.asarray(ref.step_sizes), rtol=1e-9)
+
+
 def test_mala_gspmd_matches_unsharded(gaussian_problem):
     """MALA with the chain axis GSPMD-sharded: identical samples to the
     unsharded run (drift/accept are chain-local; the preconditioner
