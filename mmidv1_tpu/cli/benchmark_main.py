@@ -36,7 +36,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sepaihrd_objective_benchmark",
                                 description=__doc__)
     p.add_argument("--mode", default="micro",
-                   choices=["micro", "pso", "hill", "mcmc", "all"])
+                   choices=["micro", "pso", "hill", "mcmc", "hillmcmc",
+                            "all"])
     p.add_argument("--batch", type=int, default=4096,
                    help="objective batch size (vmap width)")
     p.add_argument("--repeats", type=int, default=3)
@@ -88,7 +89,7 @@ def main(argv=None) -> int:
     key = jax.random.PRNGKey(0)
 
     modes = ([args.mode] if args.mode != "all"
-             else ["micro", "pso", "hill", "mcmc"])
+             else ["micro", "pso", "hill", "mcmc", "hillmcmc"])
 
     if "micro" in modes:
         # jittered evaluations like the reference's micro mode (:420-470)
@@ -107,6 +108,30 @@ def main(argv=None) -> int:
         results["micro_us_per_eval"] = dt / args.batch * 1e6
         log.info(f"micro: {args.batch / dt:.3e} evals/s "
                  f"({dt / args.batch * 1e6:.2f} us/eval amortized)")
+
+        # in-scan metric: production loops (PSO/hill/MCMC) call the
+        # objective inside a device-side lax.scan, so the per-dispatch
+        # host->device latency above (~30 ms on tunneled TPU setups) is
+        # amortized away; this is the engine rate those loops actually see
+        SCAN_STEPS = 20
+
+        @jax.jit
+        def scan_evals(key):
+            def body(acc, k):
+                t = thetas + 0.001 * jax.random.normal(k, thetas.shape,
+                                                       dtype=dtype)
+                return acc + jax.vmap(loglik_r)(t).sum(), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), dtype),
+                                  jax.random.split(key, SCAN_STEPS))
+            return acc
+
+        scan_evals(jax.random.PRNGKey(9)).block_until_ready()  # compile
+        dts = _timed(lambda: scan_evals(jax.random.PRNGKey(10))
+                     .block_until_ready(), args.repeats) / SCAN_STEPS
+        results["micro_evals_per_sec_inscan"] = args.batch / dts
+        results["micro_us_per_eval_inscan"] = dts / args.batch * 1e6
+        log.info(f"micro (in-scan): {args.batch / dts:.3e} evals/s "
+                 f"({dts / args.batch * 1e6:.2f} us/eval)")
 
     if "pso" in modes:
         cfg = PSOConfig(swarm_size=min(args.batch, 1024),
@@ -148,6 +173,30 @@ def main(argv=None) -> int:
         log.info(f"mcmc: {wall:.1f}s wall ({args.chains} chains x "
                  f"{args.iterations} steps incl. compile), best "
                  f"{float(res.best_logp):.6e}")
+
+    if "hillmcmc" in modes:
+        # the reference harness's combined mode (:88-182): hill-climb to the
+        # MAP neighborhood, then sample from there with the hill covariance
+        from ..calibration.calibrator import condition_covariance
+
+        h_cfg = HillClimbConfig(iterations=args.iterations)
+        m_cfg = MHConfig(iterations=args.iterations,
+                         burn_in=args.iterations // 5,
+                         adaptation_period=25, thinning=1)
+        t0 = time.perf_counter()
+        hres = run_hill_climb(loglik_c, pipe.space, theta0, key, h_cfg)
+        cov0 = condition_covariance(hres.final_cov,
+                                    pipe.space.sigmas.astype(dtype))
+        mres = run_mh(loglik_r, pipe.space, hres.best_x,
+                      jax.random.fold_in(key, 1), m_cfg,
+                      n_chains=args.chains, initial_cov=cov0)
+        float(mres.best_logp)
+        wall = time.perf_counter() - t0
+        best = max(float(hres.best_logl), float(mres.best_logp))
+        results["hillmcmc_wall_s"] = wall
+        results["hillmcmc_best_logl"] = best
+        results["hillmcmc_hill_best_logl"] = float(hres.best_logl)
+        log.info(f"hillmcmc: {wall:.1f}s wall, best {best:.6e}")
 
     if args.json:
         print(json.dumps(results))

@@ -188,7 +188,25 @@ def test_cli_benchmark_micro(capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     res = _json.loads(out)
     assert res["micro_evals_per_sec"] > 0
+    assert res["micro_evals_per_sec_inscan"] > 0
     assert res["n_params"] == 62
+
+
+@pytest.mark.slow
+def test_cli_benchmark_hillmcmc(capsys):
+    """The reference harness's combined hill->MCMC mode (:88-182)."""
+    from mmidv1_tpu.cli.benchmark_main import main
+
+    rc = main(["--mode", "hillmcmc", "--batch", "8", "--repeats", "1",
+               "--iterations", "4", "--chains", "8", "--num-days", "15",
+               "--platform", "cpu", "--json", "--project-root", REPO])
+    assert rc == 0
+    import json as _json
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    res = _json.loads(out)
+    assert res["hillmcmc_wall_s"] > 0
+    assert np.isfinite(res["hillmcmc_best_logl"])
+    assert res["hillmcmc_best_logl"] >= res["hillmcmc_hill_best_logl"]
 
 
 @pytest.mark.slow
