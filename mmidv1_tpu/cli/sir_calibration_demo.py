@@ -106,6 +106,26 @@ def main(argv=None) -> int:
         for i, (ll, row) in enumerate(zip(logls, samples)):
             f.write(f"{i},{ll:.6f}" + "".join(f",{v:.8e}" for v in row) + "\n")
     log.info(f"MCMC samples -> {out}")
+
+    # Save the best-fit simulated I compartment per age group in the
+    # reference's format (CalibrationDemo.cpp:236-281: Time,
+    # simulated_I_<age-label> columns) — consumed by
+    # scripts/compare_calibration_and_observed.py.
+    from ..models.sir import solve_age_sir
+
+    best_params = space.apply(params0, result.best_theta)
+    traj = np.asarray(solve_age_sir(best_params, y0, ts, method="fixed"))
+    age_labels = ["0_30", "30_60", "60_80", "80_plus"]
+    if len(age_labels) != len(N):
+        age_labels = [str(j) for j in range(len(N))]
+    sim_out = join_paths(out_dir, "simulated_incidence_best_fit.csv")
+    with open(sim_out, "w") as f:
+        f.write("Time" + "".join(f",simulated_I_{a}" for a in age_labels)
+                + "\n")
+        for i, t in enumerate(ts):
+            f.write(f"{t:g}" + "".join(f",{v:.4f}" for v in traj[i, 1, :])
+                    + "\n")
+    log.info(f"best-fit simulated incidence -> {sim_out}")
     return 0
 
 

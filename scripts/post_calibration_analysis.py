@@ -105,6 +105,135 @@ def plot_posteriors(input_dir, fig_dir, figures):
     figures.append(("Parameter posteriors", os.path.relpath(out, input_dir)))
 
 
+def plot_age_stratified_incidence(input_dir, fig_dir, figures):
+    """Faceted small multiples per age group (reference :161-211): aggregate
+    sums hide heterogeneity — one row per age group for the key streams."""
+    ppc_dir = os.path.join(input_dir, "posterior_predictive")
+    for stream in ("daily_hospitalizations", "daily_deaths"):
+        med = _read(os.path.join(ppc_dir, f"{stream}_median.csv"))
+        if med is None:
+            continue
+        obs = _read(os.path.join(ppc_dir, f"{stream}_observed.csv"))
+        ages = [c for c in med.columns if c != "time"]
+        fig, axes = plt.subplots(len(ages), 1, figsize=(11, 2.4 * len(ages)),
+                                 sharex=True)
+        axes = np.atleast_1d(axes)
+        for i, (col, ax) in enumerate(zip(ages, axes)):
+            ax.plot(med["time"], med[col], color="#1f77b4", lw=1.8,
+                    label="model median")
+            if obs is not None and col in obs.columns and len(obs) == len(med):
+                ax.plot(obs["time"], obs[col], ".", color="firebrick", ms=2.5,
+                        alpha=0.6, label="observed")
+            label = AGE_LABELS[i] if i < len(AGE_LABELS) else col
+            ax.set_title(f"Age group: {label}", fontsize=10, loc="left")
+            ax.set_ylabel("count", fontsize=8)
+            for t0, t1, color, _ in NPI_PERIODS:
+                if t0 < med["time"].max():
+                    ax.axvspan(t0, min(t1, med["time"].max()), alpha=0.08,
+                               color=color)
+            if i == 0:
+                ax.legend(fontsize=8, loc="upper right")
+        axes[-1].set_xlabel("day")
+        fig.suptitle(f"Age-stratified {stream.replace('_', ' ')}")
+        out = os.path.join(fig_dir, f"age_stratified_{stream}.png")
+        fig.tight_layout()
+        fig.savefig(out, dpi=110)
+        plt.close(fig)
+        figures.append((f"Age-stratified {stream.replace('_', ' ')}",
+                        os.path.relpath(out, input_dir)))
+
+
+def plot_severity_bars(input_dir, fig_dir, figures):
+    """Age-specific IFR/IHR/IICUR bar charts with 95% CI whiskers and value
+    annotations (reference :214-263), from the aggregated MCMC summary."""
+    summary = _read(os.path.join(input_dir, "mcmc_aggregated",
+                                 "metrics_summary.csv"))
+    if summary is None or "metric" not in summary.columns:
+        return
+    summary = summary.set_index("metric")
+    panels = [("IFR", "Infection Fatality Rate", "darkred"),
+              ("IHR", "Infection Hospitalization Rate", "darkblue"),
+              ("IICUR", "ICU Admission Rate (given Hosp)", "darkgreen")]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4.2))
+    drawn = False
+    for ax, (prefix, title, color) in zip(axes, panels):
+        medians, err_lo, err_hi, groups = [], [], [], []
+        for j, label in enumerate(AGE_LABELS):
+            key = f"{prefix}_age_{j}"
+            if key not in summary.index:
+                continue
+            row = summary.loc[key]
+            m = row["median"] * 100
+            medians.append(m)
+            err_lo.append(max(0.0, m - row["q025"] * 100))
+            err_hi.append(max(0.0, row["q975"] * 100 - m))
+            groups.append(label)
+        if not medians:
+            continue
+        drawn = True
+        bars = ax.bar(groups, medians, yerr=[err_lo, err_hi], color=color,
+                      alpha=0.6, capsize=5, edgecolor="black")
+        for bar in bars:
+            h = bar.get_height()
+            ax.annotate(f"{h:.2f}%", xy=(bar.get_x() + bar.get_width() / 2, h),
+                        xytext=(0, 5), textcoords="offset points",
+                        ha="center", va="bottom", fontsize=8)
+        ax.set_ylabel("rate (%)")
+        ax.set_title(title, fontsize=11)
+        ax.grid(axis="y", ls="--", alpha=0.5)
+    if not drawn:
+        plt.close(fig)
+        return
+    out = os.path.join(fig_dir, "age_specific_severity_metrics_bar_CI.png")
+    fig.tight_layout()
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    figures.append(("Age-specific severity metrics (95% CI)",
+                    os.path.relpath(out, input_dir)))
+
+
+def plot_posteriors_kde(input_dir, fig_dir, figures):
+    """KDE posterior panels with mean + 95% CrI annotations (reference
+    :266-318); fixed (zero-variance) parameters render as a vertical line."""
+    from scipy.stats import gaussian_kde
+
+    samples = _read(os.path.join(input_dir, "parameter_posteriors",
+                                 "posterior_samples.csv"))
+    if samples is None:
+        return
+    names = [c for c in samples.columns
+             if c not in ("sample_index", "objective_value")]
+    cols = 4
+    rows = -(-len(names) // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3.2 * cols, 2.4 * rows))
+    for ax, name in zip(np.ravel(axes), names):
+        x = np.asarray(samples[name], float)
+        if np.var(x) == 0:
+            ax.axvline(x[0], color="blue")
+            ax.set_title(f"{name} (fixed)", fontsize=8)
+        else:
+            grid = np.linspace(x.min(), x.max(), 200)
+            dens = gaussian_kde(x)(grid)
+            ax.fill_between(grid, dens, alpha=0.3, color="#9467bd")
+            ax.plot(grid, dens, color="#9467bd", lw=1.2)
+            q025, q975 = np.quantile(x, [0.025, 0.975])
+            ax.axvline(x.mean(), color="k", ls="--", lw=0.9)
+            ax.axvline(q025, color="k", ls=":", lw=0.8)
+            ax.axvline(q975, color="k", ls=":", lw=0.8)
+            ax.set_title(name, fontsize=8, fontweight="bold")
+        ax.set_yticks([])
+        ax.tick_params(labelsize=6)
+    for ax in np.ravel(axes)[len(names):]:
+        ax.axis("off")
+    fig.suptitle("Parameter posterior densities (with 95% CrI)")
+    out = os.path.join(fig_dir, "parameter_posteriors_kde.png")
+    fig.tight_layout()
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    figures.append(("Parameter posterior KDEs",
+                    os.path.relpath(out, input_dir)))
+
+
 def plot_trajectory(input_dir, fig_dir, figures, rel, title, fname,
                     extra=None):
     df = _read(os.path.join(input_dir, rel))
@@ -144,7 +273,10 @@ def main(argv=None) -> int:
     figures = []
 
     plot_ppc(input_dir, fig_dir, figures)
+    plot_age_stratified_incidence(input_dir, fig_dir, figures)
+    plot_severity_bars(input_dir, fig_dir, figures)
     plot_posteriors(input_dir, fig_dir, figures)
+    plot_posteriors_kde(input_dir, fig_dir, figures)
     plot_trajectory(input_dir, fig_dir, figures,
                     os.path.join("rt_trajectories",
                                  "Rt_aggregated_with_uncertainty.csv"),

@@ -210,6 +210,34 @@ def test_cli_benchmark_hillmcmc(capsys):
 
 
 @pytest.mark.slow
+def test_cli_sir_calibration_demo_writes_best_fit(tmp_path):
+    """The demo writes mcmc_samples.csv AND the reference-format best-fit
+    simulated incidence CSV (CalibrationDemo.cpp:236-281)."""
+    import shutil
+
+    from mmidv1_tpu.cli.sir_calibration_demo import main
+
+    # project-root sandbox with the real inputs
+    (tmp_path / "data" / "processed").mkdir(parents=True)
+    shutil.copy(os.path.join(REPO, "data", "contacts.csv"),
+                tmp_path / "data" / "contacts.csv")
+    shutil.copy(os.path.join(REPO, "data", "processed", "processed_data.csv"),
+                tmp_path / "data" / "processed" / "processed_data.csv")
+    rc = main(["--platform", "cpu", "--project-root", str(tmp_path),
+               "--hill-iters", "3", "--mcmc-iters", "6", "--burn-in", "2",
+               "--chains", "4", "--num-days", "12"])
+    assert rc == 0
+    out = tmp_path / "data" / "calibration_output"
+    assert (out / "mcmc_samples.csv").exists()
+    sim = (out / "simulated_incidence_best_fit.csv").read_text().splitlines()
+    assert sim[0] == ("Time,simulated_I_0_30,simulated_I_30_60,"
+                      "simulated_I_60_80,simulated_I_80_plus")
+    assert len(sim) == 13   # 12 days + header
+    vals = [float(v) for v in sim[1].split(",")[1:]]
+    assert all(v >= 0 for v in vals)
+
+
+@pytest.mark.slow
 def test_cli_sir_age_structured_main(tmp_path, capsys):
     from mmidv1_tpu.cli.sir_age_structured_main import main
 

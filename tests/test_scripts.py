@@ -53,10 +53,45 @@ def test_post_calibration_analysis_report(tmp_path, spain_params):
     rc = post_calibration_analysis.main(["--input", str(tmp_path)])
     assert rc == 0
     assert (tmp_path / "analysis_report.html").exists()
-    figs = list((tmp_path / "figures").glob("*.png"))
-    assert len(figs) >= 8
+    figs = {p.name for p in (tmp_path / "figures").glob("*.png")}
+    assert len(figs) >= 12
+    # the reference's three additional figure families
+    # (PostCalibrationAnalysis.py:161-331)
+    assert "age_stratified_daily_deaths.png" in figs
+    assert "age_stratified_daily_hospitalizations.png" in figs
+    assert "age_specific_severity_metrics_bar_CI.png" in figs
+    assert "parameter_posteriors_kde.png" in figs
     html = (tmp_path / "analysis_report.html").read_text()
     assert "Aggregated metrics" in html and "Scenario comparison" in html
+
+
+def test_compare_calibration_and_observed(tmp_path):
+    """The calibrated-vs-observed overlay script (reference
+    scripts/age-structured-calibration/compare_calibration_and_observed.py)."""
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, SCRIPTS)
+    import compare_calibration_and_observed as cmp_script
+
+    # synthesize a best-fit simulated file in the demo's output format
+    t = np.arange(30.0)
+    sim = pd.DataFrame({"Time": t})
+    for k in ["0_30", "30_60", "60_80", "80_plus"]:
+        sim[f"simulated_I_{k}"] = 100.0 * np.exp(-0.1 * t)
+    sim_path = tmp_path / "simulated_incidence_best_fit.csv"
+    sim.to_csv(sim_path, index=False)
+
+    out_dir = tmp_path / "viz"
+    rc = cmp_script.main(["--simulated", str(sim_path),
+                          "--output", str(out_dir)])
+    assert rc == 0
+    assert (out_dir / "calibration_comparison.png").exists()
+    assert (out_dir / "simulated_cases.png").exists()
+    # missing simulated file -> clean failure, not a traceback
+    rc = cmp_script.main(["--simulated", str(tmp_path / "nope.csv"),
+                          "--output", str(out_dir)])
+    assert rc == 1
 
 
 @pytest.mark.slow
