@@ -60,6 +60,17 @@ class PTConfig:
     n_rungs: int = 8
     beta_min: float = 0.05
     swap_every: int = 1          # steps between swap sweeps
+    # Ladder adaptation (Vousden, Farr & Mandel 2016 MNRAS 455:1919 scheme):
+    # equalize adjacent swap rates by Robbins-Monro on the log temperature
+    # spacings, with fixed endpoints beta_0 = 1 and beta_{K-1} = beta_min.
+    # Adaptation runs during burn-in only (vanishing gain, then frozen), so
+    # the retained cold-rung samples come from a fixed ladder. This is what
+    # closes the near-zero hot-end swap rates a geometric ladder shows on
+    # LL-scale ~1e6 targets (measured: 0.004-0.03 on Spain-2020, PARITY.md).
+    adapt_ladder: bool = True
+    ladder_kappa: float = 0.3    # initial RM gain on log spacings
+    ladder_t0: float = 1000.0    # gain decay timescale (in swap sweeps)
+    ladder_ema: float = 0.1      # per-pair swap-probability EMA weight
 
     def ladder(self, dtype) -> jnp.ndarray:
         """Geometric inverse-temperature ladder, beta_0 = 1 .. beta_min."""
@@ -86,6 +97,9 @@ class PTState(NamedTuple):
     swap_accept: jnp.ndarray    # (K-1,) accepted swaps per adjacent pair
     swap_tries: jnp.ndarray     # (K-1,)
     step: jnp.ndarray        # ()
+    betas: jnp.ndarray       # (K,) current inverse-temperature ladder
+    ladder_s: jnp.ndarray    # (K-1,) log spacings of T=1/beta (softmax param)
+    swap_prob: jnp.ndarray   # (K-1,) per-pair mean swap-probability EMA
 
 
 class PTResult(NamedTuple):
@@ -98,13 +112,37 @@ class PTResult(NamedTuple):
     final_state: PTState
 
 
+def _ladder_from_spacings(ladder_s: jnp.ndarray, t_max) -> jnp.ndarray:
+    """(K,) inverse temperatures from (K-1,) log T-spacings: endpoints are
+    pinned at T_0 = 1 and T_{K-1} = t_max; interior rungs sit at the
+    softmax-normalized cumulative spacings."""
+    w = jax.nn.softmax(ladder_s)
+    cum = jnp.cumsum(w)
+    T = jnp.concatenate([jnp.ones((1,), ladder_s.dtype),
+                         1.0 + (t_max - 1.0) * cum])
+    return 1.0 / T
+
+
+def _spacings_from_betas(betas: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_ladder_from_spacings` (softmax is shift-invariant,
+    so any representative works)."""
+    T = 1.0 / np.asarray(betas, np.float64)
+    if len(T) < 2:
+        return np.zeros((1,))
+    return np.log(np.maximum(np.diff(T), 1e-30))
+
+
 def init_pt_state(space: ParameterSpace, theta0: jnp.ndarray,
                   loglik_batch: Callable, key: jax.Array, *,
                   n_rungs: int, n_chains: int, jitter: float = 1.0,
                   initial_cov: Optional[jnp.ndarray] = None,
-                  reg_eps: float = 1e-6) -> PTState:
+                  reg_eps: float = 1e-6,
+                  betas: Optional[jnp.ndarray] = None,
+                  beta_min: float = 0.05) -> PTState:
     """Initialize all rungs around theta0 (rung-0 chain 0 starts exactly
-    there); every rung starts from the same conditioned covariance."""
+    there); every rung starts from the same conditioned covariance.
+    ``betas`` seeds the ladder (default: the geometric ``beta_min`` ladder);
+    with ladder adaptation on it is only the starting point."""
     d = space.dim
     dtype = jnp.asarray(theta0).dtype
     theta0 = jnp.asarray(theta0, dtype=dtype)
@@ -124,6 +162,12 @@ def init_pt_state(space: ParameterSpace, theta0: jnp.ndarray,
     cov = jnp.broadcast_to(cov1, (K, d, d))
     chol = jnp.broadcast_to(jnp.linalg.cholesky(cov1), (K, d, d))
 
+    if betas is None:
+        betas = PTConfig(n_rungs=K, beta_min=beta_min).ladder(dtype)
+    betas = jnp.asarray(betas, dtype=dtype)
+    ladder_s = jnp.asarray(_spacings_from_betas(np.asarray(betas, np.float64)),
+                           dtype=dtype)
+
     return PTState(
         x=x0, logp=logp0,
         log_scale=jnp.zeros((K, N), dtype=dtype),
@@ -133,6 +177,9 @@ def init_pt_state(space: ParameterSpace, theta0: jnp.ndarray,
         swap_accept=jnp.zeros((max(K - 1, 1),), dtype=jnp.int32),
         swap_tries=jnp.zeros((max(K - 1, 1),), dtype=jnp.int32),
         step=jnp.zeros((), dtype=jnp.int32),
+        betas=betas,
+        ladder_s=ladder_s,
+        swap_prob=jnp.zeros((max(K - 1, 1),), dtype=dtype),
     )
 
 
@@ -180,10 +227,13 @@ def pt_mh_step(state: PTState, step_key: jax.Array, space: ParameterSpace,
 
 
 def pt_swap_step(state: PTState, swap_key: jax.Array, betas: jnp.ndarray,
-                 parity: jnp.ndarray) -> PTState:
+                 parity: jnp.ndarray, ema: float = 0.1) -> PTState:
     """One even-odd swap sweep: adjacent pairs (k, k+1) with k = parity
     (mod 2) exchange (x, logp) chain-column-wise with the replica-exchange
-    acceptance probability."""
+    acceptance probability. Also maintains the per-pair mean
+    swap-probability EMA the ladder adaptation consumes (the analytic
+    ``min(1, exp(log_alpha))`` averaged over chains — lower variance than
+    the realized accept indicator)."""
     K, N, _d = state.x.shape
     if K == 1:
         return state
@@ -195,6 +245,11 @@ def pt_swap_step(state: PTState, swap_key: jax.Array, betas: jnp.ndarray,
     log_alpha = dbeta * dlogp
     pair_on = (jnp.arange(K - 1) % 2) == (parity % 2)        # (K-1,)
     accept = ((log_alpha >= 0) | (jnp.log(u) < log_alpha)) & pair_on[:, None]
+
+    p_pair = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)), axis=1)  # (K-1,)
+    swap_prob = jnp.where(pair_on,
+                          (1.0 - ema) * state.swap_prob + ema * p_pair,
+                          state.swap_prob)
 
     pad = jnp.zeros((1, N), dtype=bool)
     take_upper = jnp.concatenate([accept, pad], axis=0)      # rung k <- k+1
@@ -210,7 +265,28 @@ def pt_swap_step(state: PTState, swap_key: jax.Array, betas: jnp.ndarray,
     return state._replace(
         x=exchange(state.x), logp=exchange(state.logp),
         swap_accept=state.swap_accept + jnp.sum(accept, axis=1).astype(jnp.int32),
-        swap_tries=state.swap_tries + (pair_on * N).astype(jnp.int32))
+        swap_tries=state.swap_tries + (pair_on * N).astype(jnp.int32),
+        swap_prob=swap_prob)
+
+
+def pt_adapt_ladder(state: PTState, cfg: PTConfig) -> PTState:
+    """One Robbins-Monro update of the temperature ladder (Vousden, Farr &
+    Mandel 2016 eq. 11-12, fixed endpoints): widen the log T-spacing of
+    pairs swapping more than average, shrink the rest — the fixed point is
+    equal swap rates across all adjacent pairs. Gain decays as
+    ``kappa * t0 / (t + t0)`` in swap sweeps; callers freeze adaptation
+    after burn-in so the retained samples come from a fixed ladder."""
+    K = state.x.shape[0]
+    if K < 3:          # endpoints are pinned; nothing to adapt below 3 rungs
+        return state
+    dtype = state.ladder_s.dtype
+    t = state.step.astype(dtype)
+    gain = cfg.ladder_kappa * cfg.ladder_t0 / (t + cfg.ladder_t0)
+    s = state.ladder_s + gain * (state.swap_prob
+                                 - jnp.mean(state.swap_prob))
+    t_max = 1.0 / state.betas[-1]   # hottest endpoint stays pinned
+    betas = _ladder_from_spacings(s, t_max)
+    return state._replace(ladder_s=s, betas=betas)
 
 
 def pt_adapt_covariance(state: PTState, cfg: PTConfig) -> PTState:
@@ -262,7 +338,8 @@ def run_pt(
         state0 = init_pt_state(space, theta0, loglik_batch, k_init,
                                n_rungs=cfg.n_rungs, n_chains=n_chains,
                                jitter=jitter, initial_cov=initial_cov,
-                               reg_eps=cfg.regularization_epsilon)
+                               reg_eps=cfg.regularization_epsilon,
+                               betas=cfg.ladder(dtype))
 
     run = make_pt_runner(space, cfg, loglik_batch, dtype=dtype)
     return run(state0, k_run)
@@ -276,7 +353,6 @@ def make_pt_runner(space: ParameterSpace, cfg: PTConfig,
     many segments should build it once to avoid per-segment re-tracing)."""
     if dtype is None:
         dtype = jnp.float32
-    betas = cfg.ladder(dtype)
     thin = max(1, cfg.thinning)
     n_blocks = -(-cfg.iterations // thin)
     adapt_every_blocks = max(1, cfg.adaptation_period // thin)
@@ -287,14 +363,21 @@ def make_pt_runner(space: ParameterSpace, cfg: PTConfig,
 
         def inner(s, k):
             k_mh, k_swap = jax.random.split(k)
-            s = pt_mh_step(s, k_mh, space, loglik_batch, cfg, betas)
+            s = pt_mh_step(s, k_mh, space, loglik_batch, cfg, s.betas)
             do_swap = (s.step % swap_every) == 0
+
+            def swap_and_adapt(st):
+                st = pt_swap_step(st, k_swap, st.betas,
+                                  (st.step // swap_every),
+                                  ema=cfg.ladder_ema)
+                if cfg.adapt_ladder:
+                    st = jax.lax.cond(st.step <= cfg.burn_in,
+                                      lambda z: pt_adapt_ladder(z, cfg),
+                                      lambda z: z, st)
+                return st
+
             # alternate pair parity between swap sweeps
-            s = jax.lax.cond(
-                do_swap,
-                lambda st: pt_swap_step(st, k_swap, betas,
-                                        (st.step // swap_every)),
-                lambda st: st, s)
+            s = jax.lax.cond(do_swap, swap_and_adapt, lambda st: st, s)
             return s, None
 
         state, _ = jax.lax.scan(inner, state, step_keys)

@@ -222,10 +222,12 @@ def run_pt_gspmd(
     # Mirror run_pt's internal key split so a GSPMD run with `key` consumes
     # the same random stream as the unsharded run_pt(key).
     k_init, _k_run = jax.random.split(key)
+    dtype = jnp.asarray(theta0).dtype
     state0 = init_pt_state(space, jnp.asarray(theta0), loglik_batch, k_init,
                            n_rungs=cfg.n_rungs, n_chains=n_chains,
                            jitter=jitter, initial_cov=initial_cov,
-                           reg_eps=cfg.regularization_epsilon)
+                           reg_eps=cfg.regularization_epsilon,
+                           betas=cfg.ladder(dtype))
 
     # (K, N, ...) leaves: split the chain axis (dim 1) over the mesh; the
     # (K, d, d) covariance state and swap counters are replicated.

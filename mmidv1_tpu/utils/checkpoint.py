@@ -52,11 +52,23 @@ def save_pt_state(path: str, state) -> None:
 
 
 def load_pt_state(path: str):
-    from ..calibration.tempering import PTState
+    from ..calibration.tempering import PTState, _spacings_from_betas
 
     with np.load(path) as z:
         import jax.numpy as jnp
-        return PTState(**{k: jnp.asarray(z[k]) for k in PTState._fields})
+        fields = {k: jnp.asarray(z[k]) for k in PTState._fields if k in z}
+        # pre-ladder-adaptation checkpoints: synthesize the ladder fields
+        # (geometric beta_min=0.05 was the only ladder those runs had)
+        if "betas" not in fields:
+            K = int(fields["x"].shape[0])
+            dtype = fields["x"].dtype
+            expo = np.arange(K) / max(K - 1, 1)
+            betas = np.asarray(0.05 ** expo)
+            fields["betas"] = jnp.asarray(betas, dtype=dtype)
+            fields["ladder_s"] = jnp.asarray(_spacings_from_betas(betas),
+                                             dtype=dtype)
+            fields["swap_prob"] = jnp.zeros((max(K - 1, 1),), dtype=dtype)
+        return PTState(**fields)
 
 
 def write_posterior_trace(path: str, samples: np.ndarray,

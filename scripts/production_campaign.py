@@ -159,7 +159,8 @@ def main(argv=None) -> int:
                 state = init_pt_state(space, theta0, ll_b, k_init,
                                       n_rungs=args.rungs,
                                       n_chains=n_per_rung,
-                                      initial_cov=initial_cov)
+                                      initial_cov=initial_cov,
+                                      betas=pt_cfg.ladder(dtype))
             res = runner(state, k_run)
             state = res.final_state
             # Persist each segment's cold-rung draws next to the checkpoint
@@ -183,6 +184,10 @@ def main(argv=None) -> int:
                                axis=0)))
         swap_rate = np.asarray(res.swap_rate)
         print(f"swap rates per rung pair: {np.round(swap_rate, 3)}")
+        final_betas = np.asarray(res.final_state.betas)
+        print(f"final (adapted) ladder: {np.round(final_betas, 4)}")
+        print("per-pair swap-prob EMA: "
+              f"{np.round(np.asarray(res.final_state.swap_prob), 3)}")
     else:
         cfg = MHConfig(iterations=args.iterations, burn_in=args.burn_in,
                        adaptation_period=100, thinning=args.thinning)
@@ -256,6 +261,9 @@ def main(argv=None) -> int:
             "rungs": args.rungs,
             "swap_rate": (None if swap_rate is None
                           else [float(x) for x in swap_rate]),
+            "final_ladder": (None if args.rungs <= 1
+                             else [float(b) for b in
+                                   np.asarray(res.final_state.betas)]),
             "device": f"{dev.platform}/{dev.device_kind}", "seed": args.seed}
     with open(os.path.join(args.out, "campaign_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)

@@ -132,3 +132,42 @@ def test_pt_accepts_batch_native_objective(bimodal_problem):
                cfg=cfg, n_chains=4, loglik_batch=ll_batch)
     assert all(s == (12, 2) for s in seen)
     assert np.isfinite(np.asarray(r.sample_logps)).all()
+
+
+def test_pt_ladder_adaptation_equalizes_swap_rates(bimodal_problem):
+    """With adapt_ladder on, a deliberately terrible initial ladder (all the
+    spacing at the hot end) converges toward uniform adjacent swap rates and
+    fixed endpoints (Vousden et al. 2016 scheme)."""
+    loglik, space, _ = bimodal_problem
+    cfg = PTConfig(iterations=1500, burn_in=1200, adaptation_period=300,
+                   thinning=5, n_rungs=6, beta_min=0.02,
+                   adapt_ladder=True, ladder_kappa=0.5, ladder_t0=200.0)
+    # terrible seed ladder: nearly flat near beta=1, one huge hot-end gap
+    bad = jnp.asarray([1.0, 0.98, 0.96, 0.94, 0.92, 0.02], jnp.float64)
+    state0 = init_pt_state(space, jnp.zeros(2), jax.vmap(loglik),
+                           jax.random.PRNGKey(0), n_rungs=6, n_chains=16,
+                           jitter=2.0, betas=bad)
+    res = run_pt(loglik, space, jnp.zeros(2), jax.random.PRNGKey(1), cfg,
+                 n_chains=16, initial_state=state0)
+    betas = np.asarray(res.final_state.betas)
+    # endpoints pinned, ladder monotone
+    assert betas[0] == 1.0
+    np.testing.assert_allclose(betas[-1], 0.02, rtol=1e-5)
+    assert (np.diff(betas) < 0).all()
+    # the hot-end gap must have closed: the adapted ladder's swap-prob EMA
+    # is far more uniform than the seed ladder's (which pins the last pair
+    # near zero)
+    probs = np.asarray(res.final_state.swap_prob)
+    assert probs.min() > 0.05, probs
+    assert probs.min() / probs.max() > 0.2, probs
+
+
+def test_pt_ladder_adaptation_off_keeps_ladder_fixed(bimodal_problem):
+    loglik, space, _ = bimodal_problem
+    cfg = PTConfig(iterations=60, burn_in=40, thinning=4, n_rungs=4,
+                   beta_min=0.1, adapt_ladder=False)
+    res = run_pt(loglik, space, jnp.zeros(2), jax.random.PRNGKey(2), cfg,
+                 n_chains=8)
+    np.testing.assert_allclose(np.asarray(res.final_state.betas),
+                               np.asarray(cfg.ladder(jnp.float64)),
+                               rtol=1e-12)
