@@ -362,3 +362,53 @@ def run_nuts(
                           mean_accept=jnp.mean(accs, axis=0))
 
     return run(x0, eps0, k_run)
+
+
+def run_nuts_whitened(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    theta0: jnp.ndarray,
+    key: jax.Array,
+    cfg: NUTSConfig,
+    *,
+    n_chains: int = 1,
+    jitter: float = 0.1,
+    value_and_grad_batch: Optional[Callable] = None,
+    chain_sharding=None,
+) -> NUTSResult:
+    """:func:`run_nuts` in sigma-whitened coordinates ``z = theta / sigmas``.
+
+    Equivalent to a diagonal mass matrix ``M = diag(1 / sigmas**2)`` — the
+    kinetic energy ``0.5 r^T M^{-1} r`` with leapfrog ``theta += eps M^{-1} r``
+    collapses to unit-mass NUTS on ``z`` because the whitening is a pure
+    scaling (bounds transform linearly, so reflect/clamp commute with it).
+    On targets whose per-parameter scales span orders of magnitude (the
+    Spain-2020 space mixes O(0.1) rates with O(10) day counts) the unit-mass
+    sampler's step size is pinned by the stiffest coordinate; whitening by
+    the proposal sigmas restores a comparable step in every direction — the
+    same information the reference's AM proposal uses
+    (``SEPAIHRDModelCalibration.cpp:214-236`` seeds its covariance from the
+    same sigma file). Returned samples/best_x/step_sizes are mapped back to
+    theta units (``eps * sigma_i`` is the per-coordinate leapfrog step).
+    """
+    dtype = jnp.asarray(theta0).dtype
+    s = space.sigmas.astype(dtype)
+    s = jnp.where(s > 0, s, jnp.ones_like(s))
+    w_space = dataclasses.replace(
+        space,
+        lower=jnp.asarray(space.lower, dtype) / s,
+        upper=jnp.asarray(space.upper, dtype) / s,
+        sigmas=jnp.ones_like(s))
+    if value_and_grad_batch is None:
+        value_and_grad_batch = jax.vmap(jax.value_and_grad(loglik))
+
+    def vag_z(zs):
+        lp, g = value_and_grad_batch(zs * s)
+        return lp, g * s
+
+    res = run_nuts(lambda z: loglik(z * s), w_space,
+                   jnp.asarray(theta0, dtype) / s, key, cfg,
+                   n_chains=n_chains, jitter=jitter,
+                   value_and_grad_batch=vag_z, chain_sharding=chain_sharding)
+    return res._replace(samples=res.samples * s, best_x=res.best_x * s,
+                        step_sizes=res.step_sizes)

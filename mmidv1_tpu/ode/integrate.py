@@ -180,27 +180,36 @@ def _rk_step_fsal(f, t, y, dt, tab: Tableau, k_first):
 
 
 def _advance_interval_fixed(f, t0, t1, y, substeps: int, tab: Tableau):
+    """``substeps`` equal RK steps from t0 to t1, as a ``lax.scan`` over the
+    substep index. Rolled (not unrolled) deliberately: the substep loop sits
+    inside the outer per-interval scan, so unrolling multiplies the traced
+    body by ``substeps`` for zero runtime gain (measured on TPU v5e at
+    B=8192, cash_karp@3: identical steady-state throughput, but the unrolled
+    body costs 559 s of lowering against 0.4 s rolled — the whole 515 s
+    "compile" stall of BENCH_r01). FSAL tableaus chain the last stage across
+    substeps via the scan carry (the RHS changes only at interval boundaries
+    through ``interval_ctx``, so the chain is exact within an interval)."""
     h = (t1 - t0) / substeps
-
-    if tab.fsal and substeps <= 8:
-        # Chain the FSAL stage across the substeps of this interval (the RHS
-        # changes at interval boundaries via interval_ctx, so the chain stops
-        # there). Unrolled: fixed substep counts are small.
-        k = f(t0, y)
-        for i in range(substeps):
-            y, k = _rk_step_fsal(f, t0 + i * h, y, h, tab, k)
-        return y
-
-    def body(i, y):
-        t = t0 + i * h
-        y_new, _ = rk_step(f, t, y, h, tab)
+    if substeps == 1:
+        y_new, _ = rk_step(f, t0, y, h, tab)
         return y_new
+    offs = jnp.arange(substeps).astype(h.dtype) * h
 
-    if substeps <= 4:
-        for i in range(substeps):  # unroll small counts for fusion
-            y = body(i, y)
+    if tab.fsal:
+        def body_fsal(carry, dt_off):
+            y, k = carry
+            y_new, k_new = _rk_step_fsal(f, t0 + dt_off, y, h, tab, k)
+            return (y_new, k_new), None
+
+        (y, _), _ = jax.lax.scan(body_fsal, (y, f(t0, y)), offs)
         return y
-    return jax.lax.fori_loop(0, substeps, body, y)
+
+    def body(y, dt_off):
+        y_new, _ = rk_step(f, t0 + dt_off, y, h, tab)
+        return y_new, None
+
+    y, _ = jax.lax.scan(body, y, offs)
+    return y
 
 
 def integrate_times_fixed(f, y0, ts, *, substeps=4, method="dopri5",

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Production NUTS campaign on the Spain-2020 posterior (Pallas adjoint engine).
+
+Fields the gradient sampler on the real calibration problem (the reference
+runs NUTS only as a demo mode, ``main.cpp:48-79`` / ``NUTSSampler.cpp:321-427``;
+its single chain at ~1 leapfrog/s cannot touch the production posterior).
+Here every leapfrog is a fused Pallas forward+adjoint solve over the whole
+chain ensemble (``ops/sepaihrd_adjoint.py``), and the sampler runs in
+sigma-whitened coordinates (diagonal mass matrix — ``run_nuts_whitened``).
+
+Writes the same artifact tree as ``production_campaign.py`` (posterior trace,
+convergence diagnostics, float64-re-selected MAP) plus min-ESS/s for the
+head-to-head against the AM-MH campaign recorded in PARITY.md.
+
+Usage:
+    python scripts/nuts_campaign.py [--chains 512] [--iterations 1500]
+        [--warmup 500] [--depth 6] [--out results/spain2020_nuts]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+REFERENCE_BEST_LL = 1.41969205e+06
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--chains", type=int, default=512)
+    p.add_argument("--iterations", type=int, default=1500)
+    p.add_argument("--warmup", type=int, default=500,
+                   help="dual-averaging adaptation window (iterations)")
+    p.add_argument("--depth", type=int, default=6, help="max tree depth")
+    p.add_argument("--substeps", type=int, default=4)
+    p.add_argument("--tableau", default="dopri5")
+    p.add_argument("--jitter", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--init",
+                   default=os.path.join(REPO, "results", "spain2020",
+                                        "calibrated_parameters.txt"))
+    p.add_argument("--out",
+                   default=os.path.join(REPO, "results", "spain2020_nuts"))
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    dtype = jnp.float32
+
+    from mmidv1_tpu.calibration.nuts import NUTSConfig, run_nuts_whitened
+    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
+    from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
+    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
+                                 read_params_to_calibrate,
+                                 read_proposal_sigmas,
+                                 read_sepaihrd_parameters)
+    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+    from mmidv1_tpu.data.config_io import save_calibration_results
+    from mmidv1_tpu.utils.checkpoint import write_posterior_trace
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} / {dev.device_kind}")
+    cfg_dir = os.path.join(REPO, "data", "configuration")
+    data = CalibrationData.from_csv(
+        os.path.join(REPO, "data", "processed", "processed_data.csv"),
+        "2020-03-01", "2020-12-31")
+    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
+    params = read_sepaihrd_parameters(
+        os.path.join(cfg_dir, "initial_guess.txt"), 4,
+        N=data.population_by_age, M_baseline=M, dtype=dtype)
+    names = read_params_to_calibrate(
+        os.path.join(cfg_dir, "params_to_calibrate.txt"))
+    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
+    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
+    space = ParameterSpace.create(names, bounds, sigmas, params)
+    ts = make_time_grid(float(np.asarray(params.runup_days)),
+                        data.n_data_points)
+
+    loglik = build_objective(space, params, data, ts, substeps=args.substeps,
+                             tableau=args.tableau,
+                             constraint_mode=REFLECT, dtype=dtype)
+    vag = None
+    if args.engine == "pallas" and dev.platform == "tpu":
+        from mmidv1_tpu.ops import build_objective_pallas_grad
+        vag = build_objective_pallas_grad(
+            space, params, data, ts, substeps=args.substeps,
+            tableau=args.tableau, constraint_mode=REFLECT, dtype=dtype,
+            block_b=min(2048, args.chains))
+        print("gradient engine: Pallas forward+adjoint kernels")
+    else:
+        print("gradient engine: XLA jax.value_and_grad")
+
+    init = read_sepaihrd_parameters(args.init, 4, N=data.population_by_age,
+                                    M_baseline=M, dtype=dtype)
+    theta0 = space.extract(init).astype(dtype)
+
+    cfg = NUTSConfig(iterations=args.iterations,
+                     adaptation_window=args.warmup,
+                     max_tree_depth=args.depth)
+    t0 = time.perf_counter()
+    res = run_nuts_whitened(loglik, space, theta0,
+                            jax.random.PRNGKey(args.seed), cfg,
+                            n_chains=args.chains, jitter=args.jitter,
+                            value_and_grad_batch=vag)
+    jax.block_until_ready(res.samples)
+    wall = time.perf_counter() - t0
+    # Every iteration costs up to 2^depth leapfrogs = value_and_grad calls
+    # over the whole ensemble (masked trees run full depth — batched design).
+    grads = args.iterations * (2 ** args.depth) * args.chains
+    print(f"campaign: {args.iterations} iters x {args.chains} chains in "
+          f"{wall:.0f}s ({grads / wall:.3e} value_and_grads/s incl. host)")
+    print(f"mean accept-stat {float(np.mean(np.asarray(res.mean_accept))):.3f}; "
+          f"median step size {float(np.median(np.asarray(res.step_sizes))):.4f} "
+          "(whitened units)")
+
+    os.makedirs(args.out, exist_ok=True)
+    samples = np.asarray(res.samples[args.warmup:])
+    logps = np.asarray(res.sample_logps[args.warmup:])
+    write_posterior_trace(os.path.join(args.out, "posterior_trace.csv"),
+                          samples, logps, list(space.names))
+
+    from mmidv1_tpu.analysis.diagnostics import summarize
+    sub = samples[:, :: max(1, samples.shape[1] // 512), :]
+    diag = summarize(sub, list(space.names))
+    max_rhat = max(v["rhat"] for v in diag.values())
+    min_ess = min(v["ess"] for v in diag.values())
+    print(f"convergence: max split-R-hat {max_rhat:.3f}, min ESS {min_ess:.0f}"
+          f" -> min-ESS/s {min_ess / wall:.2f}")
+
+    # float64 MAP re-selection over per-chain bests (f32 noise floor ~1e2 at
+    # LL ~1.4e6 — PARITY.md reproducibility note 2)
+    jax.config.update("jax_enable_x64", True)
+    params64 = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64), params)
+    ll64 = build_objective(space, params64, data, ts, substeps=args.substeps,
+                           tableau=args.tableau,
+                           constraint_mode=REFLECT, dtype=jnp.float64)
+    flat = samples.reshape(-1, space.dim)
+    top = flat[np.argsort(logps.reshape(-1))[-256:]]
+    cands = jnp.asarray(np.concatenate(
+        [np.asarray(res.best_x)[None], top], axis=0), jnp.float64)
+    lls = np.asarray(jax.jit(jax.vmap(ll64))(cands))
+    k = int(np.argmax(lls))
+    print(f"float64 MAP over {len(lls)} candidates: {float(lls[k]):.8e} "
+          f"({'BEATS' if lls[k] > REFERENCE_BEST_LL else 'below'} reference)")
+    map_params = space.apply(params64, cands[k])
+    save_calibration_results(
+        os.path.join(args.out, "calibrated_parameters.txt"), map_params,
+        list(space.names), float(lls[k]))
+
+    meta = {"sampler": "nuts_whitened", "engine": args.engine,
+            "chains": args.chains, "iterations": args.iterations,
+            "warmup": args.warmup, "max_tree_depth": args.depth,
+            "substeps": args.substeps, "tableau": args.tableau,
+            "wall_seconds": wall,
+            "value_and_grads_per_sec_incl_host": grads / wall,
+            "mean_accept": float(np.mean(np.asarray(res.mean_accept))),
+            "best_logl_float64": float(lls[k]),
+            "diagnostics": {"max_rhat": max_rhat, "min_ess": min_ess,
+                            "min_ess_per_sec": min_ess / wall,
+                            "per_parameter": diag},
+            "seed": args.seed,
+            "device": f"{dev.platform}/{dev.device_kind}"}
+    with open(os.path.join(args.out, "campaign_metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"artifacts -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

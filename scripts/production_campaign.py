@@ -176,12 +176,20 @@ def main(argv=None) -> int:
         seg_files = sorted(glob.glob(os.path.join(args.out,
                                                   "pt_segment_*.npz")))
         with_segs = [np.load(f) for f in seg_files]
+        all_samples = np.concatenate([z["samples"] for z in with_segs], axis=0)
+        all_logps = np.concatenate([z["sample_logps"] for z in with_segs],
+                                   axis=0)
+        # Drop draws recorded during burn-in: the temperature ladder is still
+        # adapting there (pt_adapt_ladder freezes at step == burn_in), so
+        # those draws come from a moving kernel and would contaminate both
+        # the posterior and the split-R-hat diagnostics.
+        n_burn_draws = min(args.burn_in // args.thinning, all_samples.shape[0] - 1)
+        if n_burn_draws:
+            print(f"dropping {n_burn_draws} stored burn-in draws "
+                  f"(of {all_samples.shape[0]})")
         res = res._replace(
-            samples=jnp.asarray(
-                np.concatenate([z["samples"] for z in with_segs], axis=0)),
-            sample_logps=jnp.asarray(
-                np.concatenate([z["sample_logps"] for z in with_segs],
-                               axis=0)))
+            samples=jnp.asarray(all_samples[n_burn_draws:]),
+            sample_logps=jnp.asarray(all_logps[n_burn_draws:]))
         swap_rate = np.asarray(res.swap_rate)
         print(f"swap rates per rung pair: {np.round(swap_rate, 3)}")
         final_betas = np.asarray(res.final_state.betas)

@@ -169,3 +169,27 @@ def test_production_campaign_pt_smoke(tmp_path):
     assert len(trace2) - 1 > n_rows_before  # old segments retained + new ones
     meta2 = json.loads((tmp_path / "campaign_metadata.json").read_text())
     assert meta2["stored_samples"] > meta["stored_samples"]
+
+
+@pytest.mark.slow
+def test_nuts_campaign_smoke(tmp_path):
+    """The NUTS campaign driver end-to-end on a tiny CPU configuration
+    (XLA gradient engine; the Pallas adjoint path needs a TPU)."""
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import nuts_campaign
+
+    rc = nuts_campaign.main([
+        "--chains", "4", "--iterations", "6", "--warmup", "2",
+        "--depth", "2", "--substeps", "2", "--engine", "xla",
+        "--out", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "posterior_trace.csv").exists()
+    import json
+    meta = json.loads((tmp_path / "campaign_metadata.json").read_text())
+    assert meta["sampler"] == "nuts_whitened"
+    assert meta["best_logl_float64"] > 1.0e6
+    assert "min_ess_per_sec" in meta["diagnostics"]
+    assert (tmp_path / "calibrated_parameters.txt").exists()
