@@ -59,6 +59,7 @@ def main():
     from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
     from mmidv1_tpu.models import sepaihrd
     from mmidv1_tpu.ode import fold_times_fixed
+    from mmidv1_tpu.utils.hostdev import host_constants
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} / {dev.device_kind}")
@@ -85,8 +86,11 @@ def main():
     # 2026-08, see OPS_ANALYSIS.md "Tableau/substep sweep"
     SUBSTEPS = 3
     TABLEAU = "cash_karp"
-    ts = jnp.arange(-20.0, DAYS - 20.0 + 1.0, dtype=dtype)   # 365 daily intervals
-    y0 = sepaihrd.runup_seeded_state(params, None)
+    # Setup-time constants on the HOST (utils.hostdev): closure constants
+    # lower to MLIR literals without paying the device tunnel per constant.
+    with host_constants():
+        ts = jnp.arange(-20.0, DAYS - 20.0 + 1.0, dtype=dtype)  # 365 daily intervals
+        y0 = sepaihrd.runup_seeded_state(params, None)
 
     def one_solve(beta_scale):
         p = params.replace(beta_values=params.beta_values * beta_scale)
@@ -122,32 +126,32 @@ def main():
         # sublane-packed layout (ages 0-3 = chain-half A, 4-7 = half B);
         # all chains share the base y0/params, so pack by duplication
         B2 = B // 2
-        y0 = sepaihrd.runup_seeded_state(params, None)       # (11, 4)
-        y0_rows = jnp.concatenate([jnp.concatenate([y0[c], y0[c]])
-                                   for c in range(11)])      # (88,)
-        y0_all = jnp.tile(y0_rows[:, None], (1, B2))
-        invN = jnp.asarray(np.where(np.asarray(params.N) > 1e-9,
-                                    1.0 / np.asarray(params.N), 0.0), dtype)
-        groups = [jnp.concatenate([v, v]) for v in (
+        y0 = np.asarray(y0)          # (11, 4); host array from the block above
+        y0_rows = np.concatenate([np.concatenate([y0[c], y0[c]])
+                                  for c in range(11)])       # (88,)
+        y0_all = np.tile(y0_rows[:, None], (1, B2)).astype(dtype)
+        invN = np.where(np.asarray(params.N) > 1e-9,
+                        1.0 / np.asarray(params.N), 0.0).astype(dtype)
+        groups = [np.concatenate([v, v]) for v in (
             params.a, params.h_infec * invN, params.p, params.h, params.icu,
             params.d_H, params.d_ICU, params.d_community)]
-        groups += [jnp.full((8,), s, dtype) for s in (
+        groups += [np.full((8,), s, dtype) for s in (
             params.theta, params.sigma, params.gamma_p, params.gamma_A,
             params.gamma_I, params.gamma_H, params.gamma_ICU)]
-        rows_all = jnp.tile(jnp.concatenate(groups)[:, None], (1, B2))
+        rows_all = np.tile(np.concatenate(groups)[:, None], (1, B2)).astype(dtype)
         runs = period_runs_for_grid(np.asarray(ts),
                                     np.asarray(params.beta_end_times),
                                     np.asarray(params.kappa_end_times))
         n_runs = len(runs)
         bvn = np.asarray(params.beta_values, np.float64)
         kvn = np.asarray(params.kappa_values, np.float64)
-        base_be = jnp.asarray(
+        base_be = np.asarray(
             [bvn[pb] * (kvn[pk] if len(kvn) else 1.0)
              for pb, pk, _, _ in runs], dtype)               # (n_runs,)
-        tables = (jnp.zeros((1, 48), dtype), jnp.zeros((1, 48), dtype))
+        tables = (np.zeros((1, 48), dtype), np.zeros((1, 48), dtype))
         Mnp = np.asarray(params.M_baseline, np.float64)
-        M2 = jnp.asarray(np.block([[Mnp, np.zeros_like(Mnp)],
-                                   [np.zeros_like(Mnp), Mnp]]), dtype)
+        M2 = np.block([[Mnp, np.zeros_like(Mnp)],
+                       [np.zeros_like(Mnp), Mnp]]).astype(dtype)
 
         def pallas_solve(scale):
             beA = base_be[:, None] * scale[None, :B2]

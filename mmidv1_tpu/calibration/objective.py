@@ -99,20 +99,23 @@ def build_objective(
             sigma=base_params.sigma, gamma_p=base_params.gamma_p,
             gamma_A=base_params.gamma_A, gamma_I=base_params.gamma_I,
             p=base_params.p, h=base_params.h)
-    base_y0 = jnp.asarray(base_initial_state, dtype=dtype)
+    base_y0 = np.asarray(base_initial_state, dtype=dtype)
 
-    # Observed streams as device constants, with validity masks
-    # (NaN/negative observations are skipped: SEPAIHRDObjectiveFunction.cpp:268)
-    obs = jnp.asarray(np.stack([
-        data.new_hospitalizations, data.new_icu, data.new_deaths]), dtype=dtype)
-    obs_valid = jnp.isfinite(obs) & (obs >= 0)
-    obs_clean = jnp.where(obs_valid, obs, 0.0)
+    # Observed streams as HOST constants, with validity masks
+    # (NaN/negative observations are skipped: SEPAIHRDObjectiveFunction.cpp:268).
+    # NumPy, not device arrays: closure constants lower to MLIR literals
+    # without a per-constant device->host fetch (see params._as_f).
+    obs = np.stack([np.asarray(data.new_hospitalizations),
+                    np.asarray(data.new_icu),
+                    np.asarray(data.new_deaths)]).astype(dtype)
+    obs_valid = np.isfinite(obs) & (obs >= 0)
+    obs_clean = np.where(obs_valid, obs, 0.0).astype(dtype)
 
-    ts_j = jnp.asarray(ts, dtype=dtype)
-    eps = jnp.asarray(C.POISSON_EPSILON, dtype=dtype)
-    model_rows = jnp.asarray(_MODEL_ROWS_FOR_OBS)
-    obs_t = jnp.moveaxis(obs_clean, 1, 0)      # (T_obs, 3, A)
-    obs_valid_t = jnp.moveaxis(obs_valid, 1, 0)
+    ts_j = np.asarray(ts, dtype=dtype)
+    eps = np.asarray(C.POISSON_EPSILON, dtype=dtype)
+    model_rows = _MODEL_ROWS_FOR_OBS
+    obs_t = np.moveaxis(obs_clean, 1, 0)       # (T_obs, 3, A)
+    obs_valid_t = np.moveaxis(obs_valid, 1, 0)
 
     def loglik(theta: jnp.ndarray) -> jnp.ndarray:
         theta = space.constrain(theta.astype(dtype), constraint_mode)

@@ -152,11 +152,15 @@ class ParameterSpace:
                     np.array([t for _, t in pairs], dtype=np.int32))
             for field, pairs in scatter.items()
         }
-        lo = jnp.asarray([bounds[n][0] for n in names])
-        hi = jnp.asarray([bounds[n][1] for n in names])
+        # Host (NumPy) constants — embedded into jit programs by closure
+        # capture without a device fetch at lowering (see params._as_f).
+        import jax.dtypes
+        dt = jax.dtypes.canonicalize_dtype(np.float64)
+        lo = np.asarray([bounds[n][0] for n in names], dtype=dt)
+        hi = np.asarray([bounds[n][1] for n in names], dtype=dt)
         # swap inverted bounds like the reference (:330)
-        lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
-        sg = jnp.asarray([sigmas[n] for n in names])
+        lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+        sg = np.asarray([sigmas[n] for n in names], dtype=dt)
         return cls(names=tuple(names), lower=lo, upper=hi, sigmas=sg,
                    _scatter=packed)
 

@@ -381,8 +381,13 @@ def make_pt_runner(space: ParameterSpace, cfg: PTConfig,
             return s, None
 
         state, _ = jax.lax.scan(inner, state, step_keys)
-        do_adapt = (state.step > cfg.burn_in) & (
-            (state.step // thin) % adapt_every_blocks == 0)
+        # Unlike mh.py, covariance adaptation runs from step 0: PT burn-in
+        # doubles as the ladder-adaptation window (often tens of thousands
+        # of steps), and freezing every rung's proposal covariance at the
+        # warm init for that long would both cripple burn-in mixing and
+        # feed the ladder adaptation swap rates from a mis-scaled sampler.
+        # Burn-in still gates the ladder freeze and which draws are kept.
+        do_adapt = (state.step // thin) % adapt_every_blocks == 0
         state = jax.lax.cond(do_adapt,
                              lambda s: pt_adapt_covariance(s, cfg),
                              lambda s: s, state)

@@ -209,16 +209,23 @@ class CalibrationData:
         """Day-0 (11, A) state via quasi-steady-state inference
         (``GetCalibrationData::getInitialSEPAIHRDState``)."""
         import jax.numpy as jnp
-        from ..models.sepaihrd import infer_initial_state
 
-        return infer_initial_state(
-            N=jnp.asarray(self.population_by_age),
-            cumulative_confirmed_day0=jnp.asarray(self.cumulative_confirmed[0]),
-            cumulative_deaths_day0=jnp.asarray(self.cumulative_deaths[0]),
-            cumulative_hosp_day0=jnp.asarray(self.cumulative_hospitalizations[0]),
-            cumulative_icu_day0=jnp.asarray(self.cumulative_icu[0]),
-            sigma=sigma, gamma_p=gamma_p, gamma_A=gamma_A, gamma_I=gamma_I,
-            p=jnp.asarray(p), h=jnp.asarray(h))
+        from ..models.sepaihrd import infer_initial_state
+        from ..utils.hostdev import host_constants
+
+        # Setup-time evaluation: run on the host CPU backend and return a
+        # NumPy array so downstream jit closures capture a host constant
+        # (no device fetch at lowering — see utils.hostdev).
+        with host_constants():
+            state = infer_initial_state(
+                N=jnp.asarray(self.population_by_age),
+                cumulative_confirmed_day0=jnp.asarray(self.cumulative_confirmed[0]),
+                cumulative_deaths_day0=jnp.asarray(self.cumulative_deaths[0]),
+                cumulative_hosp_day0=jnp.asarray(self.cumulative_hospitalizations[0]),
+                cumulative_icu_day0=jnp.asarray(self.cumulative_icu[0]),
+                sigma=sigma, gamma_p=gamma_p, gamma_A=gamma_A, gamma_I=gamma_I,
+                p=jnp.asarray(p), h=jnp.asarray(h))
+        return np.asarray(state)
 
     def observed_streams(self):
         """The three observation streams of the SEPAIHRD objective as a stacked

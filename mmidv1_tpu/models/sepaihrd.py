@@ -310,7 +310,8 @@ def multiplier_scaled_state(params: SEPAIHRDParams, base_state: jnp.ndarray):
         params.I0_multiplier, params.H0_multiplier, params.ICU0_multiplier,
         params.R0_multiplier, params.D0_multiplier,
     ])
-    y = base_state
+    # base_state may be a host (NumPy) constant — see utils.hostdev
+    y = jnp.asarray(base_state)
     y = y.at[C.E:C.D + 1].set(y[C.E:C.D + 1] * mults[:, None])
     sum_non_S = jnp.sum(y[C.E:C.D + 1], axis=0)
     infeasible = jnp.any(sum_non_S > params.N)

@@ -474,7 +474,9 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
             sigma=base_params.sigma, gamma_p=base_params.gamma_p,
             gamma_A=base_params.gamma_A, gamma_I=base_params.gamma_I,
             p=base_params.p, h=base_params.h)
-    base_y0 = jnp.asarray(base_initial_state, dtype=dtype)
+    # Host constants: closure-captured by the jitted wrapper; NumPy
+    # lowers to an MLIR literal without a device fetch (utils.hostdev).
+    base_y0 = np.asarray(base_initial_state, dtype=dtype)
     period_runs = period_runs_for_grid(ts,
                                        np.asarray(base_params.beta_end_times),
                                        np.asarray(base_params.kappa_end_times))
@@ -483,7 +485,6 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
     for r, (_pb, _pk, start, count) in enumerate(period_runs):
         day_run[start:start + count] = r
     day_run[n_intervals:] = day_run[n_intervals - 1]
-    day_run = jnp.asarray(day_run)
 
     def stream_cols(x):
         x = np.asarray(x, dtype=np.float64)
@@ -495,16 +496,16 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
     g6 += [stream_cols(x)[1] for x in (data.new_deaths,
                                        data.new_hospitalizations, data.new_icu)]
     z4 = np.zeros_like(g6[0])
-    ov_t = jnp.asarray(np.concatenate(
-        [np.concatenate([g, z4], axis=1) for g in g6], axis=1), dtype=dtype)
-    ov_b = jnp.asarray(np.concatenate(
-        [np.concatenate([z4, g], axis=1) for g in g6], axis=1), dtype=dtype)
+    ov_t = np.concatenate(
+        [np.concatenate([g, z4], axis=1) for g in g6], axis=1).astype(dtype)
+    ov_b = np.concatenate(
+        [np.concatenate([z4, g], axis=1) for g in g6], axis=1).astype(dtype)
     Mnp = np.asarray(base_params.M_baseline, np.float64)
-    M2 = jnp.asarray(np.block([[Mnp, np.zeros_like(Mnp)],
-                               [np.zeros_like(Mnp), Mnp]]), dtype=dtype)
+    M2 = np.block([[Mnp, np.zeros_like(Mnp)],
+                   [np.zeros_like(Mnp), Mnp]]).astype(dtype)
     invN = np.where(np.asarray(base_params.N) > C.MIN_POPULATION_FOR_DIVISION,
                     1.0 / np.asarray(base_params.N), 0.0)
-    invN = jnp.asarray(invN, dtype=dtype)
+    invN = np.asarray(invN, dtype=dtype)
 
     def prep_one(theta):
         theta = space.constrain(theta.astype(dtype), constraint_mode)

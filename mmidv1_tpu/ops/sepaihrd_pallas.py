@@ -444,7 +444,9 @@ def build_objective_pallas(space, base_params, data, ts, *,
             sigma=base_params.sigma, gamma_p=base_params.gamma_p,
             gamma_A=base_params.gamma_A, gamma_I=base_params.gamma_I,
             p=base_params.p, h=base_params.h)
-    base_y0 = jnp.asarray(base_initial_state, dtype=dtype)
+    # Host constants: closure-captured by the jitted wrapper; NumPy
+    # lowers to an MLIR literal without a device fetch (utils.hostdev).
+    base_y0 = np.asarray(base_initial_state, dtype=dtype)
     period_runs = period_runs_for_grid(ts,
                                        np.asarray(base_params.beta_end_times),
                                        np.asarray(base_params.kappa_end_times))
@@ -464,18 +466,18 @@ def build_objective_pallas(space, base_params, data, ts, *,
     for x in (data.new_deaths, data.new_hospitalizations, data.new_icu):
         groups6.append(stream_cols(x)[1])
     z4 = np.zeros_like(groups6[0])
-    ov_top = jnp.asarray(np.concatenate(
-        [np.concatenate([g, z4], axis=1) for g in groups6], axis=1), dtype=dtype)
-    ov_bot = jnp.asarray(np.concatenate(
-        [np.concatenate([z4, g], axis=1) for g in groups6], axis=1), dtype=dtype)
+    ov_top = np.concatenate(
+        [np.concatenate([g, z4], axis=1) for g in groups6], axis=1).astype(dtype)
+    ov_bot = np.concatenate(
+        [np.concatenate([z4, g], axis=1) for g in groups6], axis=1).astype(dtype)
     obs_valid_tables = (ov_top, ov_bot)
     Mnp = np.asarray(base_params.M_baseline, dtype=np.float64)
-    M2 = jnp.asarray(np.block([[Mnp, np.zeros_like(Mnp)],
-                               [np.zeros_like(Mnp), Mnp]]), dtype=dtype)
+    M2 = np.block([[Mnp, np.zeros_like(Mnp)],
+                   [np.zeros_like(Mnp), Mnp]]).astype(dtype)
 
     invN = np.where(np.asarray(base_params.N) > C.MIN_POPULATION_FOR_DIVISION,
                     1.0 / np.asarray(base_params.N), 0.0)
-    invN = jnp.asarray(invN, dtype=dtype)
+    invN = np.asarray(invN, dtype=dtype)
 
     def prep_one(theta):
         theta = space.constrain(theta.astype(dtype), constraint_mode)

@@ -30,7 +30,14 @@ from flax import struct
 
 
 def _as_f(x, dtype):
-    return jnp.asarray(x, dtype=dtype)
+    # Host (NumPy) leaves, not device arrays: parameters are setup-time
+    # constants that get EMBEDDED into jit programs via closure capture.
+    # A NumPy leaf lowers to an MLIR constant directly; a device-resident
+    # leaf forces a device->host fetch per constant at lowering time, which
+    # on a tunneled TPU runtime costs seconds to minutes (measured: the
+    # whole 181-559 s "compile" stall of BENCH_r01 was one such fetch).
+    # Inside traced code NumPy leaves promote to tracers transparently.
+    return np.asarray(x, dtype=dtype)
 
 
 @struct.dataclass
@@ -149,7 +156,8 @@ def make_params(
     N = np.asarray(N, dtype=np.float64)
     A = N.shape[-1]
     if dtype is None:
-        dtype = jnp.zeros(0).dtype  # respects jax_enable_x64
+        import jax.dtypes
+        dtype = jax.dtypes.canonicalize_dtype(np.float64)  # respects jax_enable_x64
 
     def vec(x, default):
         if x is None:
