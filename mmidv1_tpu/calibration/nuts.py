@@ -218,6 +218,7 @@ def run_nuts(
     jitter: float = 0.1,
     value_and_grad_batch: Optional[Callable] = None,
     chain_sharding=None,
+    segments: int = 1,
 ) -> NUTSResult:
     """Run NUTS for an ensemble of chains (batched trees, scanned iterations).
 
@@ -231,6 +232,15 @@ def run_nuts(
     partitioning through the whole scanned tree program (GSPMD — every tree
     operation is chain-local, so no collectives are needed until the final
     best-chain argmax). Use :func:`mmidv1_tpu.parallel.run_nuts_gspmd`.
+
+    ``segments`` splits the iteration scan into that many equal device
+    dispatches (one compiled program, called repeatedly with the carried
+    sampler state — adaptation state included, so the result is identical
+    to a single scan). Long campaigns need this: a production run is
+    minutes of device time, and a single monolithic dispatch holds one
+    RPC/driver deadline open for the whole run (observed: UNAVAILABLE
+    device errors on a tunneled TPU at ~3 min), while segmenting also
+    bounds the (iterations, B, d) sample history the device must hold.
     """
     dtype = jnp.asarray(theta0).dtype
     d = space.dim
@@ -348,20 +358,36 @@ def run_nuts(
         return carry, (x_new, logp_new, accept_stat)
 
     @jax.jit
-    def run(x0, eps0, k_run):
+    def init_carry(x0, eps0):
         logp0, grad0 = safe_vag(x0)
-        carry = (x0, logp0, grad0, eps0, jnp.log(eps0),
-                 jnp.zeros((n_chains,), dtype=dtype),
-                 jnp.zeros((), jnp.int32), x0, logp0)
-        keys = jax.random.split(k_run, cfg.iterations)
-        carry, (xs, lps, accs) = jax.lax.scan(one_iteration, carry, keys)
-        (x, logp, _g, eps, _leb, _hb, _it, best_x, best_logp) = carry
-        bc = jnp.argmax(best_logp)
-        return NUTSResult(samples=xs, sample_logps=lps, best_x=best_x[bc],
-                          best_logp=best_logp[bc], step_sizes=eps,
-                          mean_accept=jnp.mean(accs, axis=0))
+        return (x0, logp0, grad0, eps0, jnp.log(eps0),
+                jnp.zeros((n_chains,), dtype=dtype),
+                jnp.zeros((), jnp.int32), x0, logp0)
 
-    return run(x0, eps0, k_run)
+    @jax.jit
+    def run_segment(carry, keys):
+        return jax.lax.scan(one_iteration, carry, keys)
+
+    # One host-side key split for ALL iterations, sliced per segment: the
+    # draws (and therefore the chains) are identical for any `segments`.
+    all_keys = jax.random.split(k_run, cfg.iterations)
+    seg_len = -(-cfg.iterations // max(1, segments))
+    carry = init_carry(x0, eps0)
+    xs_parts, lps_parts, acc_sum, n_acc = [], [], 0.0, 0
+    for lo in range(0, cfg.iterations, seg_len):
+        keys = all_keys[lo:lo + seg_len]
+        carry, (xs, lps, accs) = run_segment(carry, keys)
+        jax.block_until_ready(lps)      # bound each device dispatch
+        xs_parts.append(xs)
+        lps_parts.append(lps)
+        acc_sum = acc_sum + jnp.sum(accs, axis=0)
+        n_acc += keys.shape[0]
+    (x, logp, _g, eps, _leb, _hb, _it, best_x, best_logp) = carry
+    bc = jnp.argmax(best_logp)
+    return NUTSResult(samples=jnp.concatenate(xs_parts, axis=0),
+                      sample_logps=jnp.concatenate(lps_parts, axis=0),
+                      best_x=best_x[bc], best_logp=best_logp[bc],
+                      step_sizes=eps, mean_accept=acc_sum / n_acc)
 
 
 def run_nuts_whitened(
@@ -375,6 +401,7 @@ def run_nuts_whitened(
     jitter: float = 0.1,
     value_and_grad_batch: Optional[Callable] = None,
     chain_sharding=None,
+    segments: int = 1,
 ) -> NUTSResult:
     """:func:`run_nuts` in sigma-whitened coordinates ``z = theta / sigmas``.
 
@@ -409,6 +436,7 @@ def run_nuts_whitened(
     res = run_nuts(lambda z: loglik(z * s), w_space,
                    jnp.asarray(theta0, dtype) / s, key, cfg,
                    n_chains=n_chains, jitter=jitter,
-                   value_and_grad_batch=vag_z, chain_sharding=chain_sharding)
+                   value_and_grad_batch=vag_z, chain_sharding=chain_sharding,
+                   segments=segments)
     return res._replace(samples=res.samples * s, best_x=res.best_x * s,
                         step_sizes=res.step_sizes)

@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", type=int, default=500,
                    help="dual-averaging adaptation window (iterations)")
     p.add_argument("--depth", type=int, default=6, help="max tree depth")
+    p.add_argument("--segments", type=int, default=30,
+                   help="split the run into this many device dispatches "
+                        "(a monolithic dispatch holds one RPC deadline open "
+                        "for minutes and dies UNAVAILABLE on tunneled TPUs)")
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--tableau", default="dopri5")
     p.add_argument("--jitter", type=float, default=1.0)
@@ -111,7 +115,7 @@ def main(argv=None) -> int:
     res = run_nuts_whitened(loglik, space, theta0,
                             jax.random.PRNGKey(args.seed), cfg,
                             n_chains=args.chains, jitter=args.jitter,
-                            value_and_grad_batch=vag)
+                            value_and_grad_batch=vag, segments=args.segments)
     jax.block_until_ready(res.samples)
     wall = time.perf_counter() - t0
     # Every iteration costs up to 2^depth leapfrogs = value_and_grad calls

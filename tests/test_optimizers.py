@@ -150,6 +150,25 @@ def test_nuts_uses_gradients():
     assert float(res.best_logp) > -30.0
 
 
+def test_nuts_segmented_matches_monolithic():
+    """segments=k slices one host-side key split, so the chains are bitwise
+    the draws of the single-dispatch run (incl. a ragged last segment)."""
+    d = 2
+    space = _space(d, lo=-10.0, hi=10.0, sigma=0.5)
+    loglik = lambda x: -0.5 * jnp.sum(x * x)
+    cfg = NUTSConfig(iterations=31, adaptation_window=10, max_tree_depth=3)
+    key = jax.random.PRNGKey(7)
+    a = run_nuts(loglik, space, jnp.zeros(d), key, cfg, n_chains=4)
+    b = run_nuts(loglik, space, jnp.zeros(d), key, cfg, n_chains=4,
+                 segments=4)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    np.testing.assert_array_equal(np.asarray(a.step_sizes),
+                                  np.asarray(b.step_sizes))
+    # mean_accept: sum-per-segment-then-divide reorders the float reduction
+    np.testing.assert_allclose(np.asarray(a.mean_accept),
+                               np.asarray(b.mean_accept), rtol=1e-12)
+
+
 def test_nuts_whitened_matches_plain_at_unit_sigmas():
     """With sigmas == 1 the whitening is the identity: same PRNG path, same
     draws, bitwise-equal samples."""
