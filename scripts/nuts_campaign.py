@@ -45,6 +45,18 @@ def main(argv=None) -> int:
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--tableau", default="dopri5")
     p.add_argument("--jitter", type=float, default=1.0)
+    p.add_argument("--mass", default="posterior",
+                   choices=["posterior", "sigmas"],
+                   help="diagonal mass matrix: whiten by the campaign "
+                        "posterior's marginal stds (results/spain2020/"
+                        "posterior_samples.npz) or by the proposal sigmas. "
+                        "Proposal sigmas are ~100-1000x wider than the "
+                        "posterior here, which pins the dual-averaged step "
+                        "at ~1e-4 whitened units (measured) - posterior "
+                        "whitening is the production choice")
+    p.add_argument("--posterior",
+                   default=os.path.join(REPO, "results", "spain2020",
+                                        "posterior_samples.npz"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
     p.add_argument("--init",
@@ -107,6 +119,16 @@ def main(argv=None) -> int:
     init = read_sepaihrd_parameters(args.init, 4, N=data.population_by_age,
                                     M_baseline=M, dtype=dtype)
     theta0 = space.extract(init).astype(dtype)
+
+    if args.mass == "posterior":
+        import dataclasses
+        post = np.load(args.posterior)
+        assert list(post["names"]) == list(space.names)
+        std = post["samples"].std(axis=0, ddof=1).astype(np.float64)
+        std = np.maximum(std, 1e-12)
+        print(f"mass matrix: diag posterior stds from {args.posterior} "
+              f"(range {std.min():.2e}..{std.max():.2e})")
+        space = dataclasses.replace(space, sigmas=std)
 
     cfg = NUTSConfig(iterations=args.iterations,
                      adaptation_window=args.warmup,
