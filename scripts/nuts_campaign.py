@@ -45,18 +45,24 @@ def main(argv=None) -> int:
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--tableau", default="dopri5")
     p.add_argument("--jitter", type=float, default=1.0)
-    p.add_argument("--mass", default="posterior",
-                   choices=["posterior", "sigmas"],
-                   help="diagonal mass matrix: whiten by the campaign "
-                        "posterior's marginal stds (results/spain2020/"
-                        "posterior_samples.npz) or by the proposal sigmas. "
-                        "Proposal sigmas are ~100-1000x wider than the "
-                        "posterior here, which pins the dual-averaged step "
-                        "at ~1e-4 whitened units (measured) - posterior "
-                        "whitening is the production choice")
+    p.add_argument("--mass", default="laplace",
+                   choices=["laplace", "posterior", "sigmas"],
+                   help="diagonal mass matrix: 'laplace' whitens by the "
+                        "marginal stds of the Laplace approximation at the "
+                        "polished MAP (sqrt diag of the inverse negative "
+                        "Hessian - the measured-correct posterior scale) and "
+                        "also starts the chains there; 'posterior' whitens "
+                        "by the AM-MH campaign trace's marginal stds (those "
+                        "are random-walk-width-inflated ~100x here, which "
+                        "pins the dual-averaged step at ~1e-3 whitened "
+                        "units - measured); 'sigmas' uses the proposal "
+                        "sigmas (~100-1000x wider still)")
     p.add_argument("--posterior",
                    default=os.path.join(REPO, "results", "spain2020",
                                         "posterior_samples.npz"))
+    p.add_argument("--laplace",
+                   default=os.path.join(REPO, "results", "spain2020",
+                                        "laplace_mass.npz"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
     p.add_argument("--init",
@@ -128,6 +134,16 @@ def main(argv=None) -> int:
         std = np.maximum(std, 1e-12)
         print(f"mass matrix: diag posterior stds from {args.posterior} "
               f"(range {std.min():.2e}..{std.max():.2e})")
+        space = dataclasses.replace(space, sigmas=std)
+    elif args.mass == "laplace":
+        import dataclasses
+        lap = np.load(args.laplace)
+        assert list(lap["names"]) == list(space.names)
+        std = np.maximum(lap["std"].astype(np.float64), 1e-12)
+        theta0 = jnp.asarray(lap["theta_map"], dtype)
+        print(f"mass matrix: Laplace stds from {args.laplace} "
+              f"(range {std.min():.2e}..{std.max():.2e}); chains start at "
+              f"the polished MAP (LL {float(lap['ll_map']):.8e})")
         space = dataclasses.replace(space, sigmas=std)
 
     cfg = NUTSConfig(iterations=args.iterations,

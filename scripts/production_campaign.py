@@ -55,6 +55,15 @@ def main(argv=None) -> int:
                         "temperature rungs; posterior = the cold rung")
     p.add_argument("--beta-min", type=float, default=0.05,
                    help="hottest inverse temperature of the geometric ladder")
+    p.add_argument("--laplace", default=None,
+                   help="path to a laplace_mass.npz (see "
+                        "scripts/laplace_mass.py): start every chain at the "
+                        "polished MAP, jitter and propose at the Laplace "
+                        "posterior scale, and seed the adaptive-Metropolis "
+                        "covariance with the Laplace covariance. Without "
+                        "this, init/proposals ride the config proposal "
+                        "sigmas, which are ~100-1000x wider than the true "
+                        "posterior here (measured via the MAP Hessian)")
     args = p.parse_args(argv)
 
     import jax
@@ -112,19 +121,39 @@ def main(argv=None) -> int:
                                     M_baseline=M, dtype=dtype)
     theta0 = space.extract(init)
 
-    # warm proposal covariance from the committed posterior ensemble (same
-    # conditioning as the phase-1 -> phase-2 transfer)
     initial_cov = None
-    post_path = os.path.join(os.path.dirname(args.init),
-                             "posterior_samples.npz")
-    if os.path.exists(post_path):
+    if args.laplace:
+        # Laplace warm start: MAP + curvature-scale init/proposals
+        import dataclasses
         from mmidv1_tpu.calibration.calibrator import condition_covariance
-        z = np.load(post_path)
-        post = z["samples"].reshape(-1, space.dim)[-50000:]
-        cov = np.cov(post.T)
-        initial_cov = condition_covariance(
-            jnp.asarray(cov, dtype), space.sigmas.astype(dtype))
-        print(f"warm covariance from {post_path} ({post.shape[0]} draws)")
+        lap = np.load(args.laplace)
+        assert list(lap["names"]) == list(space.names)
+        std = np.maximum(lap["std"].astype(np.float64), 1e-12)
+        theta0 = jnp.asarray(lap["theta_map"], dtype)
+        space = dataclasses.replace(space,
+                                    sigmas=jnp.asarray(std, dtype))
+        d = space.dim
+        free = lap["free"]
+        cov = np.diag(std ** 2)
+        cov[np.ix_(free, free)] = lap["cov_free"]
+        initial_cov = condition_covariance(jnp.asarray(cov, dtype),
+                                           space.sigmas.astype(dtype))
+        print(f"Laplace warm start from {args.laplace}: MAP LL "
+              f"{float(lap['ll_map']):.8e}, {int(free.sum())}/{d} free, "
+              f"std range {std.min():.2e}..{std.max():.2e}")
+    else:
+        # warm proposal covariance from the committed posterior ensemble
+        # (same conditioning as the phase-1 -> phase-2 transfer)
+        post_path = os.path.join(os.path.dirname(args.init),
+                                 "posterior_samples.npz")
+        if os.path.exists(post_path):
+            from mmidv1_tpu.calibration.calibrator import condition_covariance
+            z = np.load(post_path)
+            post = z["samples"].reshape(-1, space.dim)[-50000:]
+            cov = np.cov(post.T)
+            initial_cov = condition_covariance(
+                jnp.asarray(cov, dtype), space.sigmas.astype(dtype))
+            print(f"warm covariance from {post_path} ({post.shape[0]} draws)")
 
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()

@@ -193,3 +193,58 @@ def test_nuts_campaign_smoke(tmp_path):
     assert meta["best_logl_float64"] > 1.0e6
     assert "min_ess_per_sec" in meta["diagnostics"]
     assert (tmp_path / "calibrated_parameters.txt").exists()
+
+
+@pytest.mark.slow
+def test_map_polish_and_laplace_warm_starts(tmp_path):
+    """The second-order polish chain: map_polish.py emits a Laplace mass
+    matrix that nuts_campaign.py (--mass laplace) and production_campaign.py
+    (--laplace) consume for curvature-scale warm starts."""
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import map_polish
+    import nuts_campaign
+    import production_campaign
+
+    polish_dir = tmp_path / "polish"
+    rc = map_polish.main(["--rounds", "1", "--maxiter", "2",
+                          "--substeps", "2", "--out", str(polish_dir)])
+    assert rc == 0
+    lap_path = polish_dir / "laplace_mass.npz"
+    assert lap_path.exists()
+    lap = np.load(lap_path)
+    assert lap["theta_map"].shape == lap["std"].shape == (62,)
+    assert (lap["std"] > 0).all() and np.isfinite(lap["std"]).all()
+    assert lap["cov_free"].shape[0] == int(lap["free"].sum())
+    assert float(lap["ll_map"]) > 1.0e6
+    import json
+    meta = json.loads((polish_dir / "polish_metadata.json").read_text())
+    assert meta["algorithm"] == "lbfgsb_laplace_whitened"
+    # polish never loses likelihood
+    assert meta["rounds"][-1]["ll"] >= meta["rounds"][0]["ll"] - 1e-6
+
+    nuts_dir = tmp_path / "nuts"
+    rc = nuts_campaign.main([
+        "--chains", "4", "--iterations", "4", "--warmup", "2",
+        "--depth", "2", "--substeps", "2", "--engine", "xla",
+        "--mass", "laplace", "--laplace", str(lap_path),
+        "--out", str(nuts_dir)])
+    assert rc == 0
+    meta = json.loads((nuts_dir / "campaign_metadata.json").read_text())
+    assert meta["best_logl_float64"] > 1.0e6
+
+    mh_dir = tmp_path / "mh"
+    rc = production_campaign.main([
+        "--chains", "8", "--iterations", "8", "--segments", "2",
+        "--burn-in", "2", "--thinning", "4", "--substeps", "2",
+        "--dtype", "float64", "--laplace", str(lap_path),
+        "--out", str(mh_dir), "--skip-report"])
+    assert rc == 0
+    meta = json.loads((mh_dir / "campaign_metadata.json").read_text())
+    # Laplace warm start initializes at the polished MAP, so the campaign's
+    # float64 MAP can never fall below it by more than proposal wander
+    assert meta["best_logl_float64"] >= float(lap["ll_map"]) - 1.0
