@@ -5,7 +5,8 @@ from .mala import MALAConfig, MALAResult, run_mala
 from .tempering import PTConfig, PTResult, run_pt
 from .pso import PSOConfig, PSOResult, PSOVariant, Topology, run_pso
 from .hill import HillClimbConfig, HillClimbResult, run_hill_climb
-from .nuts import NUTSConfig, NUTSResult, run_nuts, run_nuts_whitened
+from .nuts import (NUTSConfig, NUTSResult, run_nuts, run_nuts_dense,
+                   run_nuts_whitened)
 from .calibrator import CalibrationResult, calibrate, condition_covariance
 from .sir_space import SIRParameterSpace
 from .sir_objective import build_sir_objective
@@ -18,7 +19,8 @@ __all__ = [
     "PTConfig", "PTResult", "run_pt",
     "PSOConfig", "PSOResult", "PSOVariant", "Topology", "run_pso",
     "HillClimbConfig", "HillClimbResult", "run_hill_climb",
-    "NUTSConfig", "NUTSResult", "run_nuts", "run_nuts_whitened",
+    "NUTSConfig", "NUTSResult", "run_nuts", "run_nuts_dense",
+    "run_nuts_whitened",
     "CalibrationResult", "calibrate", "condition_covariance",
     "SIRParameterSpace", "build_sir_objective",
 ]

@@ -440,3 +440,62 @@ def run_nuts_whitened(
                    segments=segments)
     return res._replace(samples=res.samples * s, best_x=res.best_x * s,
                         step_sizes=res.step_sizes)
+
+
+def run_nuts_dense(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    key: jax.Array,
+    cfg: NUTSConfig,
+    *,
+    mu: jnp.ndarray,
+    scale: jnp.ndarray,
+    n_chains: int = 1,
+    jitter: float = 1.0,
+    value_and_grad_batch: Optional[Callable] = None,
+    chain_sharding=None,
+    segments: int = 1,
+) -> NUTSResult:
+    """:func:`run_nuts` with a DENSE mass matrix: ``theta = mu + scale @ z``.
+
+    ``scale`` is any (d, d) factor of the target covariance (typically the
+    Cholesky factor of the Laplace covariance at the polished MAP), so the
+    sampler sees an approximately isotropic unit-Gaussian target in ``z``.
+    A diagonal mass (:func:`run_nuts_whitened`) cannot fix CORRELATED
+    stiffness: on the Spain-2020 posterior the marginal-std-whitened
+    correlation matrix is ill-conditioned enough to pin the dual-averaged
+    step at ~3e-3 (measured, campaign r2); dense whitening restores an O(0.1)
+    step.
+
+    Bounds: an axis-aligned box in theta maps to a rotated parallelotope in
+    ``z``, which the per-coordinate clamp cannot represent — so ``z`` is
+    sampled UNBOUNDED and the objective's MCMC_REFLECT mode
+    (``SEPAIHRDParameterManager.cpp`` reflection semantics, applied inside
+    the objective) folds out-of-box excursions back in, preserving detailed
+    balance. Returned samples are reflected into the box in theta units.
+    Chains start at ``mu`` jittered by ``jitter`` posterior stds (isotropic
+    in z).
+    """
+    dtype = jnp.asarray(mu).dtype
+    d = space.dim
+    S = jnp.asarray(scale, dtype)
+    mu = jnp.asarray(mu, dtype)
+    inf = jnp.full((d,), jnp.inf, dtype)
+    z_space = dataclasses.replace(space, lower=-inf, upper=inf,
+                                  sigmas=jnp.ones((d,), dtype))
+    if value_and_grad_batch is None:
+        value_and_grad_batch = jax.vmap(jax.value_and_grad(loglik))
+
+    def vag_z(zs):                      # zs: (B, d)
+        lp, g = value_and_grad_batch(mu[None, :] + zs @ S.T)
+        return lp, g @ S
+
+    res = run_nuts(lambda z: loglik(mu + S @ z), z_space,
+                   jnp.zeros((d,), dtype), key, cfg,
+                   n_chains=n_chains, jitter=jitter,
+                   value_and_grad_batch=vag_z, chain_sharding=chain_sharding,
+                   segments=segments)
+    to_theta = lambda z: space.reflect(mu + z @ S.T)
+    return res._replace(samples=to_theta(res.samples),
+                        best_x=space.reflect(mu + res.best_x @ S.T),
+                        step_sizes=res.step_sizes)

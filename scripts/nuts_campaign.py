@@ -6,7 +6,8 @@ runs NUTS only as a demo mode, ``main.cpp:48-79`` / ``NUTSSampler.cpp:321-427``;
 its single chain at ~1 leapfrog/s cannot touch the production posterior).
 Here every leapfrog is a fused Pallas forward+adjoint solve over the whole
 chain ensemble (``ops/sepaihrd_adjoint.py``), and the sampler runs in
-sigma-whitened coordinates (diagonal mass matrix — ``run_nuts_whitened``).
+Laplace-whitened coordinates (dense mass matrix from the polished MAP's
+inverse Hessian — ``run_nuts_dense``; see scripts/map_polish.py).
 
 Writes the same artifact tree as ``production_campaign.py`` (posterior trace,
 convergence diagnostics, float64-re-selected MAP) plus min-ESS/s for the
@@ -45,18 +46,19 @@ def main(argv=None) -> int:
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--tableau", default="dopri5")
     p.add_argument("--jitter", type=float, default=1.0)
-    p.add_argument("--mass", default="laplace",
-                   choices=["laplace", "posterior", "sigmas"],
-                   help="diagonal mass matrix: 'laplace' whitens by the "
-                        "marginal stds of the Laplace approximation at the "
-                        "polished MAP (sqrt diag of the inverse negative "
-                        "Hessian - the measured-correct posterior scale) and "
-                        "also starts the chains there; 'posterior' whitens "
-                        "by the AM-MH campaign trace's marginal stds (those "
-                        "are random-walk-width-inflated ~100x here, which "
-                        "pins the dual-averaged step at ~1e-3 whitened "
-                        "units - measured); 'sigmas' uses the proposal "
-                        "sigmas (~100-1000x wider still)")
+    p.add_argument("--mass", default="laplace-dense",
+                   choices=["laplace-dense", "laplace", "posterior", "sigmas"],
+                   help="mass matrix: 'laplace-dense' whitens by the "
+                        "Cholesky factor of the full Laplace covariance at "
+                        "the polished MAP (run_nuts_dense - the production "
+                        "choice; correlated stiffness pins the DIAGONAL "
+                        "Laplace mass at step ~3e-3, measured campaign r2); "
+                        "'laplace' whitens by the Laplace marginal stds "
+                        "only; 'posterior' whitens by the AM-MH trace's "
+                        "marginal stds (random-walk-width-inflated ~100x "
+                        "here - step pinned at ~1e-3, measured); 'sigmas' "
+                        "uses the proposal sigmas (~100-1000x wider still). "
+                        "Both laplace modes start the chains at the MAP")
     p.add_argument("--posterior",
                    default=os.path.join(REPO, "results", "spain2020",
                                         "posterior_samples.npz"))
@@ -79,7 +81,8 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     dtype = jnp.float32
 
-    from mmidv1_tpu.calibration.nuts import NUTSConfig, run_nuts_whitened
+    from mmidv1_tpu.calibration.nuts import (NUTSConfig, run_nuts_dense,
+                                             run_nuts_whitened)
     from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
     from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
     from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
@@ -135,25 +138,40 @@ def main(argv=None) -> int:
         print(f"mass matrix: diag posterior stds from {args.posterior} "
               f"(range {std.min():.2e}..{std.max():.2e})")
         space = dataclasses.replace(space, sigmas=std)
-    elif args.mass == "laplace":
+    elif args.mass in ("laplace", "laplace-dense"):
         import dataclasses
         lap = np.load(args.laplace)
         assert list(lap["names"]) == list(space.names)
         std = np.maximum(lap["std"].astype(np.float64), 1e-12)
         theta0 = jnp.asarray(lap["theta_map"], dtype)
-        print(f"mass matrix: Laplace stds from {args.laplace} "
-              f"(range {std.min():.2e}..{std.max():.2e}); chains start at "
-              f"the polished MAP (LL {float(lap['ll_map']):.8e})")
-        space = dataclasses.replace(space, sigmas=std)
+        print(f"mass matrix: Laplace ({args.mass}) from {args.laplace} "
+              f"(std range {std.min():.2e}..{std.max():.2e}); chains start "
+              f"at the polished MAP (LL {float(lap['ll_map']):.8e})")
+        if args.mass == "laplace":
+            space = dataclasses.replace(space, sigmas=std)
+        else:
+            free = lap["free"]
+            cov = np.diag(std ** 2)
+            cov[np.ix_(free, free)] = lap["cov_free"]
+            dense_scale = np.linalg.cholesky(cov)
 
     cfg = NUTSConfig(iterations=args.iterations,
                      adaptation_window=args.warmup,
                      max_tree_depth=args.depth)
     t0 = time.perf_counter()
-    res = run_nuts_whitened(loglik, space, theta0,
-                            jax.random.PRNGKey(args.seed), cfg,
-                            n_chains=args.chains, jitter=args.jitter,
-                            value_and_grad_batch=vag, segments=args.segments)
+    if args.mass == "laplace-dense":
+        res = run_nuts_dense(loglik, space, jax.random.PRNGKey(args.seed),
+                             cfg, mu=theta0,
+                             scale=jnp.asarray(dense_scale, dtype),
+                             n_chains=args.chains, jitter=args.jitter,
+                             value_and_grad_batch=vag,
+                             segments=args.segments)
+    else:
+        res = run_nuts_whitened(loglik, space, theta0,
+                                jax.random.PRNGKey(args.seed), cfg,
+                                n_chains=args.chains, jitter=args.jitter,
+                                value_and_grad_batch=vag,
+                                segments=args.segments)
     jax.block_until_ready(res.samples)
     wall = time.perf_counter() - t0
     # Every iteration costs up to 2^depth leapfrogs = value_and_grad calls
@@ -200,7 +218,7 @@ def main(argv=None) -> int:
         os.path.join(args.out, "calibrated_parameters.txt"), map_params,
         list(space.names), float(lls[k]))
 
-    meta = {"sampler": "nuts_whitened", "engine": args.engine,
+    meta = {"sampler": f"nuts_{args.mass}", "engine": args.engine,
             "chains": args.chains, "iterations": args.iterations,
             "warmup": args.warmup, "max_tree_depth": args.depth,
             "substeps": args.substeps, "tableau": args.tableau,

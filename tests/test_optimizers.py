@@ -209,6 +209,53 @@ def test_nuts_whitened_samples_anisotropic_gaussian():
     assert 0.3 < acc <= 1.0, acc
 
 
+def test_nuts_dense_samples_correlated_stiff_gaussian():
+    """A 3-d Gaussian with correlation 0.999 between two stiff coordinates:
+    diagonal whitening leaves the conditioned direction ~500x stiffer than
+    the marginals suggest, pinning the step size; dense whitening by the
+    true Cholesky factor makes the target isotropic and recovers the full
+    covariance at shallow depth (the Spain-2020 failure mode in miniature)."""
+    from mmidv1_tpu.calibration.nuts import run_nuts_dense
+    d = 3
+    space = _space(d, lo=-50.0, hi=50.0, sigma=1.0)
+    cov = np.array([[1.0, 0.999, 0.0],
+                    [0.999, 1.0, 0.0],
+                    [0.0, 0.0, 4.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([1.0, -1.0, 2.0])
+    loglik = lambda x: -0.5 * (x - mu) @ prec @ (x - mu)
+    cfg = NUTSConfig(iterations=300, adaptation_window=100, max_tree_depth=4)
+    res = run_nuts_dense(loglik, space, jax.random.PRNGKey(9), cfg,
+                         mu=mu, scale=jnp.asarray(np.linalg.cholesky(cov)),
+                         n_chains=8)
+    s = np.asarray(res.samples[100:]).reshape(-1, d)
+    np.testing.assert_allclose(s.mean(axis=0), np.asarray(mu), atol=0.3)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.8)
+    # dense whitening must keep the adapted step O(1), not collapsed
+    assert float(np.median(np.asarray(res.step_sizes))) > 0.05
+    acc = float(np.mean(np.asarray(res.mean_accept)))
+    assert 0.3 < acc <= 1.0, acc
+
+
+def test_nuts_dense_reflects_samples_into_bounds():
+    """Dense-mass z-space is unbounded; returned theta samples must be
+    reflected into the box (MCMC_REFLECT semantics)."""
+    from mmidv1_tpu.calibration.nuts import run_nuts_dense
+    d = 2
+    space = _space(d, lo=0.0, hi=1.0, sigma=1.0)
+    # mode AT the lower bound: half of z-space maps outside the box
+    refl = lambda x: space.reflect(x)
+    loglik = lambda x: -0.5 * jnp.sum((refl(x) / 0.1) ** 2)
+    cfg = NUTSConfig(iterations=100, adaptation_window=30, max_tree_depth=3)
+    res = run_nuts_dense(loglik, space, jax.random.PRNGKey(2), cfg,
+                         mu=jnp.zeros(d),
+                         scale=jnp.asarray(0.1 * np.eye(d)), n_chains=4)
+    s = np.asarray(res.samples)
+    assert (s >= 0.0).all() and (s <= 1.0).all()
+    # the folded half-normal has mean ~0.08
+    assert 0.02 < s.reshape(-1, d).mean() < 0.2
+
+
 # --------------------------------------------------------------- calibrator
 
 def test_condition_covariance_semantics():

@@ -189,7 +189,7 @@ def test_nuts_campaign_smoke(tmp_path):
     assert (tmp_path / "posterior_trace.csv").exists()
     import json
     meta = json.loads((tmp_path / "campaign_metadata.json").read_text())
-    assert meta["sampler"] == "nuts_whitened"
+    assert meta["sampler"] == "nuts_laplace-dense"   # default mass mode
     assert meta["best_logl_float64"] > 1.0e6
     assert "min_ess_per_sec" in meta["diagnostics"]
     assert (tmp_path / "calibrated_parameters.txt").exists()
