@@ -71,6 +71,17 @@ class MHConfig:
     regularization_epsilon: float = 1e-6
     store_samples: bool = True
     report_interval: int = 0   # blocks between progress callbacks (0 = every block)
+    # proposal family: "am" = adaptive-Metropolis Gaussian (reference
+    # semantics); "de" = differential evolution (ter Braak 2006): the proposal
+    # is gamma * (x_j - x_k) between two other ensemble walkers, which tracks
+    # curved posterior manifolds no fixed Gaussian covariance can (the
+    # Spain-2020 typical set is such a manifold: straight-line moves from the
+    # MAP lose likelihood 15-90x faster than the global covariance predicts,
+    # measured). Symmetric, so the accept rule is unchanged. Batch-native:
+    # partner differences are two gathers over the ensemble axis.
+    proposal: str = "am"
+    de_gamma1_prob: float = 0.1   # P(gamma = 1) per chain-step (mode jumps)
+    de_noise: float = 1e-6        # residual N(0, (de_noise*sigmas)^2) jitter
 
     @classmethod
     def from_settings(cls, settings: dict) -> "MHConfig":
@@ -195,13 +206,40 @@ def init_mh_state(space: ParameterSpace, theta0: jnp.ndarray,
 
 def mh_step(state: MHState, step_key: jax.Array, space: ParameterSpace,
             loglik_batch: Callable, cfg: MHConfig, *,
-            n_total: Optional[int] = None, offset=0) -> MHState:
+            n_total: Optional[int] = None, offset=0,
+            axis_name: Optional[str] = None) -> MHState:
     """One Metropolis step for the whole (local shard of the) ensemble."""
     B, d = state.x.shape
     dtype = state.x.dtype
-    z, u = _shard_invariant_draws(step_key, n_total or B, offset, B, d, dtype)
+    n_tot = n_total or B
+    z, u = _shard_invariant_draws(step_key, n_tot, offset, B, d, dtype)
     scale = jnp.exp(state.log_scale)[:, None]
-    proposal = state.x + scale * (z @ state.chol.T)
+    if cfg.proposal == "de":
+        # differential evolution: x + gamma (x_j - x_k) + tiny jitter.
+        # Partner indices come from GLOBAL tables (shard-invariant like the
+        # Gaussian draws); j != i and k != i by construction, j == k is
+        # allowed (prob 1/(n-1): the move degenerates to the jitter and the
+        # (j,k)<->(k,j) symmetry keeps the proposal symmetric either way).
+        kj, kk, kg = jax.random.split(jax.random.fold_in(step_key, 1), 3)
+        ids = offset + jnp.arange(B)
+        j_all = jax.random.randint(kj, (n_tot,), 1, n_tot)
+        k_all = jax.random.randint(kk, (n_tot,), 1, n_tot)
+        g_all = jax.random.uniform(kg, (n_tot,), dtype=dtype)
+        j = (ids + jax.lax.dynamic_slice_in_dim(j_all, offset, B, 0)) % n_tot
+        k = (ids + jax.lax.dynamic_slice_in_dim(k_all, offset, B, 0)) % n_tot
+        g_u = jax.lax.dynamic_slice_in_dim(g_all, offset, B, 0)
+        if axis_name is None:
+            x_all = state.x
+        else:
+            x_all = jax.lax.all_gather(state.x, axis_name).reshape(n_tot, d)
+        gamma = jnp.where(g_u < cfg.de_gamma1_prob,
+                          jnp.asarray(1.0, dtype),
+                          jnp.asarray(2.38 / np.sqrt(2 * d), dtype))
+        diff = x_all[j] - x_all[k]
+        jit_e = cfg.de_noise * space.sigmas.astype(dtype) * z
+        proposal = state.x + (scale * gamma[:, None]) * diff + jit_e
+    else:
+        proposal = state.x + scale * (z @ state.chol.T)
     proposal = jax.vmap(space.reflect)(proposal)
 
     logp_prop = safe_logp(loglik_batch(proposal))
@@ -356,15 +394,17 @@ def make_mh_runner(space: ParameterSpace, cfg: MHConfig, loglik_batch: Callable,
 
         def inner(s, k):
             return mh_step(s, k, space, loglik_batch, cfg,
-                           n_total=n_total, offset=offset), None
+                           n_total=n_total, offset=offset,
+                           axis_name=axis_name), None
 
         state, _ = jax.lax.scan(inner, state, step_keys)
 
-        do_adapt = (state.step > cfg.burn_in) & (
-            (state.step // thin) % adapt_every_blocks == 0)
-        state = jax.lax.cond(do_adapt,
-                             lambda s: adapt_covariance(s, cfg, axis_name),
-                             lambda s: s, state)
+        if cfg.proposal != "de":    # DE proposals don't use the covariance
+            do_adapt = (state.step > cfg.burn_in) & (
+                (state.step // thin) % adapt_every_blocks == 0)
+            state = jax.lax.cond(do_adapt,
+                                 lambda s: adapt_covariance(s, cfg, axis_name),
+                                 lambda s: s, state)
         if progress_fn is not None:
             def report(s):
                 acc = jnp.mean(s.accept_count / jnp.maximum(s.step, 1))

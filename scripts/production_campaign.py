@@ -55,6 +55,13 @@ def main(argv=None) -> int:
                         "temperature rungs; posterior = the cold rung")
     p.add_argument("--beta-min", type=float, default=0.05,
                    help="hottest inverse temperature of the geometric ladder")
+    p.add_argument("--proposal", default="am", choices=["am", "de"],
+                   help="MH proposal family (rungs=1 only): 'am' adaptive "
+                        "Metropolis, 'de' differential evolution (walker "
+                        "differences - tracks the curved posterior manifold "
+                        "measured on Spain-2020, where straight-line moves "
+                        "lose likelihood 15-90x faster than the global "
+                        "covariance predicts)")
     p.add_argument("--laplace", default=None,
                    help="path to a laplace_mass.npz (see "
                         "scripts/laplace_mass.py): start every chain at the "
@@ -227,7 +234,8 @@ def main(argv=None) -> int:
               f"{np.round(np.asarray(res.final_state.swap_prob), 3)}")
     else:
         cfg = MHConfig(iterations=args.iterations, burn_in=args.burn_in,
-                       adaptation_period=100, thinning=args.thinning)
+                       adaptation_period=100, thinning=args.thinning,
+                       proposal=args.proposal)
         res = run_mh_checkpointed(
             loglik, space, theta0, jax.random.PRNGKey(args.seed), cfg,
             n_chains=args.chains, segments=args.segments,
@@ -287,6 +295,7 @@ def main(argv=None) -> int:
         list(space.names), float(lls[k]))
 
     meta = {"chains": args.chains, "iterations": args.iterations,
+            "proposal": args.proposal,
             "diagnostics": {"max_rhat": max(v["rhat"] for v in diag.values()),
                             "min_ess": min(v["ess"] for v in diag.values()),
                             "per_parameter": diag},

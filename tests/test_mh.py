@@ -100,3 +100,54 @@ def test_mh_handles_lowest_regions():
     assert (s[-100:, :, 0] <= 1.0).all()
     assert float(res.best_x[0]) <= 1.0
     assert np.isfinite(float(res.best_logp)) and float(res.best_logp) > -1e30
+
+
+def test_demc_recovers_correlated_gaussian():
+    """proposal='de' (differential evolution): walker-difference proposals
+    recover the same correlated Gaussian without any covariance adaptation."""
+    d = 3
+    space = _gaussian_space(d)
+    rho = 0.7
+    cov = np.array([[1.0, rho, 0.0], [rho, 1.0, 0.3], [0.0, 0.3, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+
+    def loglik(x):
+        r = x - mu
+        return -0.5 * r @ prec @ r
+
+    cfg = MHConfig(iterations=4000, burn_in=500, adaptation_period=100,
+                   thinning=4, proposal="de")
+    res = run_mh(loglik, space, jnp.zeros(d), jax.random.PRNGKey(3), cfg,
+                 n_chains=64)
+    pooled = np.asarray(res.samples[250:]).reshape(-1, d)
+    np.testing.assert_allclose(pooled.mean(axis=0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(np.cov(pooled.T), cov, atol=0.4)
+    acc = float(np.mean(np.asarray(res.acceptance_rate)))
+    assert 0.1 < acc < 0.6, acc
+
+
+def test_demc_tracks_curved_ridge_better_than_am():
+    """On a banana target (the Spain-2020 posterior's measured geometry in
+    miniature: straight-line moves off a curved manifold lose probability much
+    faster than the global covariance suggests), DE-MC's walker-difference
+    proposals mix visibly better than fixed-covariance AM at the same budget."""
+    d = 2
+    space = _gaussian_space(d, lo=-30.0, hi=30.0)
+
+    def loglik(x):
+        return -0.5 * (x[0] ** 2 / 4.0 + (x[1] - x[0] ** 2) ** 2 / 0.01)
+
+    budget = dict(iterations=6000, burn_in=1200, thinning=10)
+    key = jax.random.PRNGKey(11)
+    res_de = run_mh(loglik, space, jnp.zeros(d), key,
+                    MHConfig(proposal="de", **budget), n_chains=128, jitter=4.0)
+    res_am = run_mh(loglik, space, jnp.zeros(d), key,
+                    MHConfig(proposal="am", **budget), n_chains=128, jitter=4.0)
+    # truth: x0 ~ N(0, 4) => E[x1] = E[x0^2] = 4
+    de = np.asarray(res_de.samples[120:]).reshape(-1, d)
+    am = np.asarray(res_am.samples[120:]).reshape(-1, d)
+    err_de = abs(de[:, 1].mean() - 4.0) + abs(de[:, 0].std() - 2.0)
+    err_am = abs(am[:, 1].mean() - 4.0) + abs(am[:, 0].std() - 2.0)
+    assert err_de < 0.6, (err_de, err_am)
+    assert err_de < err_am, (err_de, err_am)

@@ -242,7 +242,7 @@ def test_map_polish_and_laplace_warm_starts(tmp_path):
         "--chains", "8", "--iterations", "8", "--segments", "2",
         "--burn-in", "2", "--thinning", "4", "--substeps", "2",
         "--dtype", "float64", "--laplace", str(lap_path),
-        "--out", str(mh_dir), "--skip-report"])
+        "--proposal", "de", "--out", str(mh_dir), "--skip-report"])
     assert rc == 0
     meta = json.loads((mh_dir / "campaign_metadata.json").read_text())
     # Laplace warm start initializes at the polished MAP, so the campaign's
