@@ -254,11 +254,17 @@ def run_nuts(
         return lp, g
 
     k_init, k_eps, k_run = jax.random.split(key, 3)
-    noise = jax.random.normal(k_init, (n_chains, d), dtype=dtype)
-    x0 = jnp.asarray(theta0, dtype=dtype)[None, :] + \
-        jitter * space.sigmas.astype(dtype) * noise
-    x0 = x0.at[0].set(jnp.asarray(theta0, dtype=dtype))
-    x0 = space.clamp(x0)
+    theta0 = jnp.asarray(theta0, dtype=dtype)
+    if theta0.ndim == 2:
+        # warm ensemble start: one row per chain, used verbatim (mass
+        # re-adaptation rounds continue chains from their current positions)
+        x0 = space.clamp(theta0)
+    else:
+        noise = jax.random.normal(k_init, (n_chains, d), dtype=dtype)
+        x0 = theta0[None, :] + \
+            jitter * space.sigmas.astype(dtype) * noise
+        x0 = x0.at[0].set(theta0)
+        x0 = space.clamp(x0)
 
     if chain_sharding is not None:
         x0 = jax.device_put(x0, chain_sharding)
@@ -455,6 +461,7 @@ def run_nuts_dense(
     value_and_grad_batch: Optional[Callable] = None,
     chain_sharding=None,
     segments: int = 1,
+    init: Optional[jnp.ndarray] = None,
 ) -> NUTSResult:
     """:func:`run_nuts` with a DENSE mass matrix: ``theta = mu + scale @ z``.
 
@@ -490,8 +497,14 @@ def run_nuts_dense(
         lp, g = value_and_grad_batch(mu[None, :] + zs @ S.T)
         return lp, g @ S
 
+    if init is not None:
+        # warm ensemble start at given theta positions: z = S^-1 (theta - mu)
+        z0 = jax.scipy.linalg.solve_triangular(
+            S, (jnp.asarray(init, dtype) - mu[None, :]).T, lower=True).T
+    else:
+        z0 = jnp.zeros((d,), dtype)
     res = run_nuts(lambda z: loglik(mu + S @ z), z_space,
-                   jnp.zeros((d,), dtype), key, cfg,
+                   z0, key, cfg,
                    n_chains=n_chains, jitter=jitter,
                    value_and_grad_batch=vag_z, chain_sharding=chain_sharding,
                    segments=segments)

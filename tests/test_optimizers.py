@@ -237,6 +237,27 @@ def test_nuts_dense_samples_correlated_stiff_gaussian():
     assert 0.3 < acc <= 1.0, acc
 
 
+def test_nuts_dense_warm_ensemble_init():
+    """init=(B, d) theta positions continues chains from there (mass
+    re-adaptation rounds); z-mapping round-trips through the Cholesky."""
+    from mmidv1_tpu.calibration.nuts import run_nuts_dense
+    d = 2
+    space = _space(d, lo=-10.0, hi=10.0, sigma=1.0)
+    cov = np.array([[1.0, 0.6], [0.6, 1.0]])
+    mu = jnp.asarray([0.5, -0.5])
+    prec = jnp.asarray(np.linalg.inv(cov))
+    loglik = lambda x: -0.5 * (x - mu) @ prec @ (x - mu)
+    rng = np.random.default_rng(3)
+    init = np.asarray(mu) + rng.normal(size=(8, d)) @ np.linalg.cholesky(cov).T
+    cfg = NUTSConfig(iterations=200, adaptation_window=60, max_tree_depth=4)
+    res = run_nuts_dense(loglik, space, jax.random.PRNGKey(4), cfg,
+                         mu=mu, scale=jnp.asarray(np.linalg.cholesky(cov)),
+                         n_chains=8, init=jnp.asarray(init))
+    s = np.asarray(res.samples[60:]).reshape(-1, d)
+    np.testing.assert_allclose(s.mean(axis=0), np.asarray(mu), atol=0.3)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.8)
+
+
 def test_nuts_dense_reflects_samples_into_bounds():
     """Dense-mass z-space is unbounded; returned theta samples must be
     reflected into the box (MCMC_REFLECT semantics)."""
