@@ -104,69 +104,133 @@ class _Tree(NamedTuple):
 
 def _build_tree(vag_batch, space, theta, r, grad, log_u, v, j, eps, logp0_r0,
                 key):
-    """Recursive doubling, unrolled at trace time (j is a python int).
+    """ITERATIVE subtree of 2^j leapfrogs in direction ``v`` (j: python int).
 
-    All leaves are (B, ...) ensembles; per-chain joins are masked selects —
-    exactly what a vmapped ``lax.cond`` lowers to, but expressed batch-level
-    so ``vag_batch`` sees whole (B, d) batches (Pallas-engine compatible).
-    ``v`` is the (B,) direction (+-1), ``eps`` the (B,) step sizes.
+    Equivalent to Hoffman & Gelman's recursive doubling but built as one
+    ``lax.scan`` over the 2^j leapfrog steps with an O(j) checkpoint stack,
+    so the COMPILED program is O(j) per doubling instead of O(2^j): the
+    trace-time-unrolled recursion was fine at the reference's depth 3 but at
+    the depth 8-10 this posterior's pinned step size demands (PARITY.md
+    round-2 addendum) its HLO blow-up stalls XLA for tens of minutes.
+
+    Mechanics (the standard iterative-NUTS scheme, cf. numpyro): leaf k's
+    state starts every complete power-of-two block whose first leaf index s
+    satisfies s % 2^m == 0; simultaneously-open starts have strictly
+    decreasing trailing-zero counts, so storing leaf s in checkpoint slot
+    min(tz(s), j) never collides and j+1 slots suffice. After leaf k, for
+    every m with (k+1) % 2^m == 0 the U-turn criterion is checked between
+    checkpoint slot(s = k+1-2^m) and the current leaf. The in-subtree
+    proposal is reservoir-sampled leaf-by-leaf (prob n_leaf / n_sum), which
+    reproduces the recursive join's uniform-over-valid-leaves law. All tree
+    indices are scalars shared by the whole (B, ...) ensemble; only states
+    are per-chain, joined by masked selects (Pallas-engine compatible).
     """
     dtype = theta.dtype
-    if j == 0:
-        # single leapfrog step in direction v
-        ve = (v * eps)[:, None]
-        r_half = r + 0.5 * ve * _clip_grad(grad)
-        theta1 = space.clamp(theta + ve * r_half)
-        logp1, grad1 = vag_batch(theta1)
-        r1 = r_half + 0.5 * ve * _clip_grad(grad1)
+    B = theta.shape[0]
+    n_leaf_total = 1 << j
+    ve = (v * eps)[:, None]
+
+    def leapfrog(th, rr, gg):
+        r_half = rr + 0.5 * ve * _clip_grad(gg)
+        th1 = space.clamp(th + ve * r_half)
+        logp1, g1 = vag_batch(th1)
+        r1 = r_half + 0.5 * ve * _clip_grad(g1)
+        return th1, r1, g1, logp1
+
+    # checkpoint stacks: slot -> (theta, r) of the stored leaf
+    ck_theta = jnp.zeros((j + 1, B, theta.shape[1]), dtype)
+    ck_r = jnp.zeros((j + 1, B, theta.shape[1]), dtype)
+
+    def tz_slot(s):
+        """min(trailing zeros of s, j) as a traced scalar; tz(0) -> j."""
+        s = jnp.asarray(s, jnp.int32)
+        lowbit = s & -s                       # 0 when s == 0
+        t = jnp.round(jnp.log2(jnp.maximum(lowbit, 1))).astype(jnp.int32)
+        return jnp.minimum(jnp.where(s == 0, j, t), j)
+
+    def step(carry, k_key):
+        k, key_k = k_key
+        (th, rr, gg, ck_t, ck_r_, live, s_flag, n_sum, prop_th, prop_lp,
+         alpha, n_alpha, first) = carry
+        th1, r1, g1, logp1 = leapfrog(th, rr, gg)
 
         joint = logp1 - 0.5 * _dot(r1, r1)
         finite = jnp.isfinite(joint)
         n1 = jnp.where(finite & (log_u <= joint), 1, 0)
-        s1 = jnp.where(finite & (log_u < joint + DELTA_MAX), 1, 0)
-        alpha = jnp.where(finite, jnp.minimum(1.0, jnp.exp(joint - logp0_r0)),
-                          0.0)
-        return _Tree(theta1, r1, grad1, theta1, r1, grad1, theta1, logp1,
-                     n1, s1, alpha, jnp.ones_like(alpha))
+        div_ok = finite & (log_u < joint + DELTA_MAX)
+        a1 = jnp.where(finite, jnp.minimum(1.0, jnp.exp(joint - logp0_r0)),
+                       0.0)
 
-    B = theta.shape[0]
-    k1, k2, k3 = jax.random.split(key, 3)
-    t1 = _build_tree(vag_batch, space, theta, r, grad, log_u, v, j - 1, eps,
-                     logp0_r0, k1)
+        # reservoir-sample this leaf into the subtree proposal (only chains
+        # still live extend their subtree; dead chains keep everything)
+        n_new = n_sum + n1
+        u = jax.random.uniform(key_k, (B,), dtype=dtype)
+        take = live & (u * jnp.maximum(n_new, 1).astype(dtype)
+                       < n1.astype(dtype))
+        prop_th = _w(take, th1, prop_th)
+        prop_lp = jnp.where(take, logp1, prop_lp)
+        n_sum = jnp.where(live, n_new, n_sum)
+        alpha = jnp.where(live, alpha + a1, alpha)
+        n_alpha = jnp.where(live, n_alpha + 1.0, n_alpha)
 
-    # grow in direction v from the appropriate edge (always computed; chains
-    # whose first subtree already stopped keep t1 via the masked join below —
-    # the same both-branches cost a vmapped lax.cond pays)
+        # store checkpoint (k even starts blocks; storing every k is simpler
+        # and equally correct since slot(k) only matters for even k)
+        slot = tz_slot(k)
+        ck_t = jax.lax.dynamic_update_index_in_dim(
+            ck_t, _w(live, th1, ck_t[slot]), slot, 0)
+        ck_r_ = jax.lax.dynamic_update_index_in_dim(
+            ck_r_, _w(live, r1, ck_r_[slot]), slot, 0)
+
+        # U-turn checks for every complete block ending at this leaf
+        ok = div_ok
+        for m in range(1, j + 1):
+            ends_block = (k + 1) % (1 << m) == 0
+            s0 = k + 1 - (1 << m)
+            sl = tz_slot(s0)
+            th_s = jax.lax.dynamic_index_in_dim(ck_t, sl, 0, keepdims=False)
+            r_s = jax.lax.dynamic_index_in_dim(ck_r_, sl, 0, keepdims=False)
+            # oriented span theta_plus - theta_minus = v * (leaf_k - leaf_s);
+            # momenta enter RAW (H&G Alg 6: backward trees leapfrog with -eps
+            # but the stop criterion uses the stored momenta unchanged)
+            dth = (th1 - th_s) * v[:, None]
+            no_ut = (_dot(dth, r_s) >= 0) & (_dot(dth, r1) >= 0)
+            ok = ok & (no_ut | ~ends_block)
+        live_new = live & ok
+        s_flag = jnp.where(live, ok.astype(jnp.int32), s_flag)
+
+        first_new = [_w(live & (k == 0), x, f)
+                     for x, f in zip((th1, r1, g1), first)]
+        # dead chains freeze their end state too
+        th_keep = _w(live, th1, th)
+        r_keep = _w(live, r1, rr)
+        g_keep = _w(live, g1, gg)
+        return (th_keep, r_keep, g_keep, ck_t, ck_r_, live_new, s_flag,
+                n_sum, prop_th, prop_lp, alpha, n_alpha, tuple(first_new)), None
+
+    keys = jax.random.split(key, n_leaf_total)
+    carry0 = (theta, r, grad, ck_theta, ck_r,
+              jnp.ones((B,), bool), jnp.ones((B,), jnp.int32),
+              jnp.zeros((B,), jnp.int32), theta, jnp.full((B,), -jnp.inf, dtype),
+              jnp.zeros((B,), dtype), jnp.zeros((B,), dtype),
+              (theta, r, grad))
+    (th_end, r_end, g_end, _ckt, _ckr, _live, s_flag, n_sum, prop_th,
+     prop_lp, alpha, n_alpha, first), _ = jax.lax.scan(
+        step, carry0, (jnp.arange(n_leaf_total), keys))
+
+    th_first, r_first, g_first = first
     pos = v > 0
-    edge_theta = _w(pos, t1.theta_plus, t1.theta_minus)
-    edge_r = _w(pos, t1.r_plus, t1.r_minus)
-    edge_grad = _w(pos, t1.grad_plus, t1.grad_minus)
-    t2 = _build_tree(vag_batch, space, edge_theta, edge_r, edge_grad,
-                     log_u, v, j - 1, eps, logp0_r0, k2)
-    theta_minus = _w(pos, t1.theta_minus, t2.theta_minus)
-    r_minus = _w(pos, t1.r_minus, t2.r_minus)
-    grad_minus = _w(pos, t1.grad_minus, t2.grad_minus)
-    theta_plus = _w(pos, t2.theta_plus, t1.theta_plus)
-    r_plus = _w(pos, t2.r_plus, t1.r_plus)
-    grad_plus = _w(pos, t2.grad_plus, t1.grad_plus)
-
-    n_tot = t1.n_prime + t2.n_prime
-    take2 = (jax.random.uniform(k3, (B,), dtype=dtype) <
-             t2.n_prime / jnp.maximum(n_tot, 1))
-    theta_prime = _w(take2, t2.theta_prime, t1.theta_prime)
-    logp_prime = _w(take2, t2.logp_prime, t1.logp_prime)
-
-    dtheta = theta_plus - theta_minus
-    no_uturn = ((_dot(dtheta, r_minus) >= 0) &
-                (_dot(dtheta, r_plus) >= 0)).astype(t1.s_prime.dtype)
-    ext = _Tree(theta_minus, r_minus, grad_minus, theta_plus, r_plus,
-                grad_plus, theta_prime, logp_prime, n_tot,
-                t2.s_prime * no_uturn, t1.alpha + t2.alpha,
-                t1.n_alpha + t2.n_alpha)
-
-    # per-chain join: extend only where the first subtree was still valid
-    valid = t1.s_prime == 1
-    return _Tree(*[_w(valid, e, o) for e, o in zip(ext, t1)])
+    theta_minus = _w(pos, th_first, th_end)
+    r_minus = _w(pos, r_first, r_end)
+    grad_minus = _w(pos, g_first, g_end)
+    theta_plus = _w(pos, th_end, th_first)
+    r_plus = _w(pos, r_end, r_first)
+    grad_plus = _w(pos, g_end, g_first)
+    # chains that never accepted a leaf keep the entry point as proposal
+    none_taken = n_sum == 0
+    prop_th = _w(none_taken, theta, prop_th)
+    prop_lp = jnp.where(none_taken, logp0_r0, prop_lp)  # unused when n==0
+    return _Tree(theta_minus, r_minus, grad_minus, theta_plus, r_plus,
+                 grad_plus, prop_th, prop_lp, n_sum, s_flag, alpha, n_alpha)
 
 
 def find_reasonable_epsilon(vag_batch, space, theta0, sigmas, key,
