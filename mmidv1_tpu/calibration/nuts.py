@@ -67,6 +67,9 @@ class NUTSResult(NamedTuple):
     best_logp: jnp.ndarray
     step_sizes: jnp.ndarray     # (B,) final adapted step sizes
     mean_accept: jnp.ndarray    # (B,)
+    mean_depth: jnp.ndarray     # (B,) mean doublings completed per iteration
+    # (== max_tree_depth when the U-turn/divergence criteria never bind —
+    # the signal that deeper trees would extend the trajectory)
 
 
 def _clip_grad(g):
@@ -360,6 +363,7 @@ def run_nuts(
         n_alpha_stat = jnp.zeros((B,), dtype)
         keys = jax.random.split(k_tree, cfg.max_tree_depth)
         n_cum = jnp.ones((B,), dtype)
+        depth_count = jnp.zeros((B,), dtype)
         for j in range(cfg.max_tree_depth):
             kv, kt, ks = jax.random.split(keys[j], 3)
             v = jnp.where(jax.random.uniform(kv, (B,), dtype=dtype) < 0.5,
@@ -371,6 +375,7 @@ def run_nuts(
             sub = _build_tree(safe_vag, space, edge_theta, edge_r, edge_grad,
                               log_u, v, j, eps, joint0, kt)
             valid = state.s_prime == 1
+            depth_count = depth_count + valid.astype(dtype)
             # Metropolis-within-doubling acceptance of the new subtree sample
             accept_prob = sub.n_prime.astype(dtype) / jnp.maximum(n_cum, 1.0)
             take = valid & (sub.s_prime == 1) & \
@@ -425,7 +430,7 @@ def run_nuts(
 
         carry = (x_new, logp_new, grad_new, eps_new, log_eps_bar, h_bar,
                  it + 1, best_x, best_logp)
-        return carry, (x_new, logp_new, accept_stat)
+        return carry, (x_new, logp_new, accept_stat, depth_count)
 
     @jax.jit
     def init_carry(x0, eps0):
@@ -443,21 +448,23 @@ def run_nuts(
     all_keys = jax.random.split(k_run, cfg.iterations)
     seg_len = -(-cfg.iterations // max(1, segments))
     carry = init_carry(x0, eps0)
-    xs_parts, lps_parts, acc_sum, n_acc = [], [], 0.0, 0
+    xs_parts, lps_parts, acc_sum, dep_sum, n_acc = [], [], 0.0, 0.0, 0
     for lo in range(0, cfg.iterations, seg_len):
         keys = all_keys[lo:lo + seg_len]
-        carry, (xs, lps, accs) = run_segment(carry, keys)
+        carry, (xs, lps, accs, deps) = run_segment(carry, keys)
         jax.block_until_ready(lps)      # bound each device dispatch
         xs_parts.append(xs)
         lps_parts.append(lps)
         acc_sum = acc_sum + jnp.sum(accs, axis=0)
+        dep_sum = dep_sum + jnp.sum(deps, axis=0)
         n_acc += keys.shape[0]
     (x, logp, _g, eps, _leb, _hb, _it, best_x, best_logp) = carry
     bc = jnp.argmax(best_logp)
     return NUTSResult(samples=jnp.concatenate(xs_parts, axis=0),
                       sample_logps=jnp.concatenate(lps_parts, axis=0),
                       best_x=best_x[bc], best_logp=best_logp[bc],
-                      step_sizes=eps, mean_accept=acc_sum / n_acc)
+                      step_sizes=eps, mean_accept=acc_sum / n_acc,
+                      mean_depth=dep_sum / n_acc)
 
 
 def run_nuts_whitened(

@@ -47,7 +47,8 @@ def main(argv=None) -> int:
     p.add_argument("--tableau", default="dopri5")
     p.add_argument("--jitter", type=float, default=1.0)
     p.add_argument("--mass", default="laplace-dense",
-                   choices=["laplace-dense", "laplace", "posterior", "sigmas"],
+                   choices=["laplace-dense", "laplace", "posterior", "sigmas",
+                            "empirical-dense"],
                    help="mass matrix: 'laplace-dense' whitens by the "
                         "Cholesky factor of the full Laplace covariance at "
                         "the polished MAP (run_nuts_dense - the production "
@@ -58,7 +59,21 @@ def main(argv=None) -> int:
                         "marginal stds (random-walk-width-inflated ~100x "
                         "here - step pinned at ~1e-3, measured); 'sigmas' "
                         "uses the proposal sigmas (~100-1000x wider still). "
-                        "Both laplace modes start the chains at the MAP")
+                        "Both laplace modes start the chains at the MAP; "
+                        "'empirical-dense' whitens by the pooled covariance "
+                        "of a PREVIOUS NUTS trace (--trace) - the production "
+                        "two-stage recipe: the Laplace mass under-scales the "
+                        "posterior's soft directions ~6x (measured: chains "
+                        "sit at whitened radius ~50, not sqrt(d)=7.9), so "
+                        "stage 1's real HMC samples are the right width "
+                        "estimate (the AM-MH cloud was NOT - its width was "
+                        "init diffusion, PARITY.md round-2 addendum)")
+    p.add_argument("--trace", default=None,
+                   help="samples.npz from a previous campaign (for "
+                        "--mass empirical-dense)")
+    p.add_argument("--warm", default=None,
+                   help="samples.npz whose final iteration warm-starts the "
+                        "ensemble (chains continue from those positions)")
     p.add_argument("--posterior",
                    default=os.path.join(REPO, "results", "spain2020",
                                         "posterior_samples.npz"))
@@ -154,18 +169,46 @@ def main(argv=None) -> int:
             cov = np.diag(std ** 2)
             cov[np.ix_(free, free)] = lap["cov_free"]
             dense_scale = np.linalg.cholesky(cov)
+    elif args.mass == "empirical-dense":
+        assert args.trace, "--mass empirical-dense needs --trace samples.npz"
+        tr = np.load(args.trace)
+        assert list(tr["names"]) == list(space.names)
+        flat_tr = tr["samples"].reshape(-1, space.dim).astype(np.float64)
+        cov_emp = np.cov(flat_tr, rowvar=False)
+        # 10% diagonal shrinkage keeps the factor PD when the trace is short
+        diag = np.diag(np.maximum(np.diag(cov_emp), 1e-24))
+        cov = 0.9 * cov_emp + 0.1 * diag
+        dense_scale = np.linalg.cholesky(cov)
+        lap = np.load(args.laplace)
+        theta0 = jnp.asarray(lap["theta_map"], dtype)
+        print(f"mass matrix: dense empirical covariance of {args.trace} "
+              f"({flat_tr.shape[0]} draws; marginal-std range "
+              f"{np.sqrt(np.diag(cov)).min():.2e}.."
+              f"{np.sqrt(np.diag(cov)).max():.2e})")
+
+    warm_init = None
+    if args.warm:
+        wtr = np.load(args.warm)
+        last = wtr["samples"][-1]            # (B_prev, d) final ensemble
+        if last.shape[0] >= args.chains:
+            warm_init = last[:args.chains]
+        else:                                # tile + tiny resample
+            reps = -(-args.chains // last.shape[0])
+            warm_init = np.tile(last, (reps, 1))[:args.chains]
+        print(f"warm start: ensemble from the final iteration of {args.warm}")
 
     cfg = NUTSConfig(iterations=args.iterations,
                      adaptation_window=args.warmup,
                      max_tree_depth=args.depth)
     t0 = time.perf_counter()
-    if args.mass == "laplace-dense":
+    if args.mass in ("laplace-dense", "empirical-dense"):
         res = run_nuts_dense(loglik, space, jax.random.PRNGKey(args.seed),
                              cfg, mu=theta0,
                              scale=jnp.asarray(dense_scale, dtype),
                              n_chains=args.chains, jitter=args.jitter,
                              value_and_grad_batch=vag,
-                             segments=args.segments)
+                             segments=args.segments,
+                             init=warm_init)
     else:
         res = run_nuts_whitened(loglik, space, theta0,
                                 jax.random.PRNGKey(args.seed), cfg,
@@ -181,11 +224,16 @@ def main(argv=None) -> int:
           f"{wall:.0f}s ({grads / wall:.3e} value_and_grads/s incl. host)")
     print(f"mean accept-stat {float(np.mean(np.asarray(res.mean_accept))):.3f}; "
           f"median step size {float(np.median(np.asarray(res.step_sizes))):.4f} "
-          "(whitened units)")
+          "(whitened units); "
+          f"mean tree depth {float(np.mean(np.asarray(res.mean_depth))):.2f}"
+          f"/{args.depth}")
 
     os.makedirs(args.out, exist_ok=True)
     samples = np.asarray(res.samples[args.warmup:])
     logps = np.asarray(res.sample_logps[args.warmup:])
+    np.savez_compressed(os.path.join(args.out, "samples.npz"),
+                        samples=samples, logps=logps,
+                        names=np.array(list(space.names)))
     write_posterior_trace(os.path.join(args.out, "posterior_trace.csv"),
                           samples, logps, list(space.names))
 
@@ -225,6 +273,7 @@ def main(argv=None) -> int:
             "wall_seconds": wall,
             "value_and_grads_per_sec_incl_host": grads / wall,
             "mean_accept": float(np.mean(np.asarray(res.mean_accept))),
+            "mean_tree_depth": float(np.mean(np.asarray(res.mean_depth))),
             "best_logl_float64": float(lls[k]),
             "diagnostics": {"max_rhat": max_rhat, "min_ess": min_ess,
                             "min_ess_per_sec": min_ess / wall,
