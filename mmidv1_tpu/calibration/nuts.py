@@ -60,6 +60,29 @@ class NUTSConfig:
                    max_tree_depth=int(g("nuts_max_tree_depth", 3)))
 
 
+class NUTSState(NamedTuple):
+    """Full sampler state between iterations — checkpoint/resume unit.
+
+    The reference's NUTS writes traces but has no resume path
+    (``NUTSSampler.cpp`` trace handling); here the state is a pytree, so
+    resume is EXACT: ``run_nuts(..., initial_state=s)`` with the same master
+    key and config continues bit-for-bit (the per-iteration key table is
+    derived from the master key and sliced at ``it``; tested in
+    ``tests/test_checkpoint.py``).
+    """
+
+    x: jnp.ndarray              # (B, d) current positions
+    logp: jnp.ndarray           # (B,)
+    grad: jnp.ndarray           # (B, d)
+    eps: jnp.ndarray            # (B,) current step sizes
+    log_eps_bar: jnp.ndarray    # (B,) dual-averaging iterate
+    h_bar: jnp.ndarray          # (B,) dual-averaging statistic
+    mu: jnp.ndarray             # (B,) dual-averaging anchor log(10 eps0)
+    it: jnp.ndarray             # () int32 iterations completed
+    best_x: jnp.ndarray         # (B, d)
+    best_logp: jnp.ndarray      # (B,)
+
+
 class NUTSResult(NamedTuple):
     samples: jnp.ndarray        # (iterations, B, d)
     sample_logps: jnp.ndarray   # (iterations, B)
@@ -286,6 +309,8 @@ def run_nuts(
     value_and_grad_batch: Optional[Callable] = None,
     chain_sharding=None,
     segments: int = 1,
+    initial_state: Optional[NUTSState] = None,
+    on_segment: Optional[Callable] = None,
 ) -> NUTSResult:
     """Run NUTS for an ensemble of chains (batched trees, scanned iterations).
 
@@ -308,6 +333,17 @@ def run_nuts(
     RPC/driver deadline open for the whole run (observed: UNAVAILABLE
     device errors on a tunneled TPU at ~3 min), while segmenting also
     bounds the (iterations, B, d) sample history the device must hold.
+
+    ``initial_state`` (a :class:`NUTSState`) resumes a checkpointed run:
+    with the same master ``key`` and ``cfg`` the continuation is
+    bit-identical to the uninterrupted run, because the per-iteration key
+    table is a pure function of the master key sliced at ``state.it``.
+    The returned samples cover only the iterations run by THIS call
+    (``state.it`` .. ``cfg.iterations``); the caller concatenates across
+    resumes. ``on_segment(state, xs, lps)`` fires after each segment with
+    the carried :class:`NUTSState` and that segment's samples — hook for
+    atomic on-disk checkpoints during multi-hour campaigns on preemptible
+    or tunnel-flaky devices.
     """
     dtype = jnp.asarray(theta0).dtype
     d = space.dim
@@ -321,30 +357,33 @@ def run_nuts(
         return lp, g
 
     k_init, k_eps, k_run = jax.random.split(key, 3)
-    theta0 = jnp.asarray(theta0, dtype=dtype)
-    if theta0.ndim == 2:
-        # warm ensemble start: one row per chain, used verbatim (mass
-        # re-adaptation rounds continue chains from their current positions)
-        x0 = space.clamp(theta0)
-    else:
-        noise = jax.random.normal(k_init, (n_chains, d), dtype=dtype)
-        x0 = theta0[None, :] + \
-            jitter * space.sigmas.astype(dtype) * noise
-        x0 = x0.at[0].set(theta0)
-        x0 = space.clamp(x0)
+    if initial_state is None:
+        theta0 = jnp.asarray(theta0, dtype=dtype)
+        if theta0.ndim == 2:
+            # warm ensemble start: one row per chain, used verbatim (mass
+            # re-adaptation rounds continue chains from their current
+            # positions)
+            x0 = space.clamp(theta0)
+        else:
+            noise = jax.random.normal(k_init, (n_chains, d), dtype=dtype)
+            x0 = theta0[None, :] + \
+                jitter * space.sigmas.astype(dtype) * noise
+            x0 = x0.at[0].set(theta0)
+            x0 = space.clamp(x0)
 
-    if chain_sharding is not None:
-        x0 = jax.device_put(x0, chain_sharding)
-    eps0 = find_reasonable_epsilon(safe_vag, space, x0, space.sigmas, k_eps)
-    if chain_sharding is not None:
-        eps0 = jax.device_put(eps0, chain_sharding)
+        if chain_sharding is not None:
+            x0 = jax.device_put(x0, chain_sharding)
+        eps0 = find_reasonable_epsilon(safe_vag, space, x0, space.sigmas,
+                                       k_eps)
+        if chain_sharding is not None:
+            eps0 = jax.device_put(eps0, chain_sharding)
 
-    mu = jnp.log(10.0 * eps0)
     gamma, t0, kappa = 0.05, 10.0, 0.75
     B = n_chains
 
     def one_iteration(carry, k_iter):
-        x, logp, grad, eps, log_eps_bar, h_bar, it, best_x, best_logp = carry
+        (x, logp, grad, eps, log_eps_bar, h_bar, mu, it, best_x,
+         best_logp) = carry
         k_r, k_u, k_tree = jax.random.split(k_iter, 3)
         r0 = jax.random.normal(k_r, x.shape, dtype=dtype)
         joint0 = logp - 0.5 * _dot(r0, r0)
@@ -428,28 +467,39 @@ def run_nuts(
         best_x = _w(better, x_new, best_x)
         best_logp = jnp.where(better, logp_new, best_logp)
 
-        carry = (x_new, logp_new, grad_new, eps_new, log_eps_bar, h_bar,
-                 it + 1, best_x, best_logp)
+        carry = NUTSState(x_new, logp_new, grad_new, eps_new, log_eps_bar,
+                          h_bar, mu, it + 1, best_x, best_logp)
         return carry, (x_new, logp_new, accept_stat, depth_count)
 
     @jax.jit
     def init_carry(x0, eps0):
         logp0, grad0 = safe_vag(x0)
-        return (x0, logp0, grad0, eps0, jnp.log(eps0),
-                jnp.zeros((n_chains,), dtype=dtype),
-                jnp.zeros((), jnp.int32), x0, logp0)
+        return NUTSState(x0, logp0, grad0, eps0, jnp.log(eps0),
+                         jnp.zeros((n_chains,), dtype=dtype),
+                         jnp.log(10.0 * eps0),
+                         jnp.zeros((), jnp.int32), x0, logp0)
 
     @jax.jit
     def run_segment(carry, keys):
         return jax.lax.scan(one_iteration, carry, keys)
 
     # One host-side key split for ALL iterations, sliced per segment: the
-    # draws (and therefore the chains) are identical for any `segments`.
+    # draws (and therefore the chains) are identical for any `segments`
+    # and across checkpoint/resume boundaries.
     all_keys = jax.random.split(k_run, cfg.iterations)
     seg_len = -(-cfg.iterations // max(1, segments))
-    carry = init_carry(x0, eps0)
+    if initial_state is not None:
+        carry = initial_state
+        if chain_sharding is not None:
+            carry = jax.tree_util.tree_map(
+                lambda v: jax.device_put(v, chain_sharding)
+                if jnp.ndim(v) >= 1 else v, carry)
+        start = int(carry.it)
+    else:
+        carry = init_carry(x0, eps0)
+        start = 0
     xs_parts, lps_parts, acc_sum, dep_sum, n_acc = [], [], 0.0, 0.0, 0
-    for lo in range(0, cfg.iterations, seg_len):
+    for lo in range(start, cfg.iterations, seg_len):
         keys = all_keys[lo:lo + seg_len]
         carry, (xs, lps, accs, deps) = run_segment(carry, keys)
         jax.block_until_ready(lps)      # bound each device dispatch
@@ -458,7 +508,15 @@ def run_nuts(
         acc_sum = acc_sum + jnp.sum(accs, axis=0)
         dep_sum = dep_sum + jnp.sum(deps, axis=0)
         n_acc += keys.shape[0]
-    (x, logp, _g, eps, _leb, _hb, _it, best_x, best_logp) = carry
+        if on_segment is not None:
+            on_segment(carry, xs, lps)
+    if not xs_parts:                     # resume of an already-finished run
+        xs_parts = [jnp.zeros((0, B, d), dtype)]
+        lps_parts = [jnp.zeros((0, B), dtype)]
+        acc_sum = jnp.zeros((B,), dtype)
+        dep_sum = jnp.zeros((B,), dtype)
+        n_acc = 1
+    (x, logp, _g, eps, _leb, _hb, _mu, _it, best_x, best_logp) = carry
     bc = jnp.argmax(best_logp)
     return NUTSResult(samples=jnp.concatenate(xs_parts, axis=0),
                       sample_logps=jnp.concatenate(lps_parts, axis=0),
@@ -533,6 +591,8 @@ def run_nuts_dense(
     chain_sharding=None,
     segments: int = 1,
     init: Optional[jnp.ndarray] = None,
+    initial_state: Optional[NUTSState] = None,
+    on_segment: Optional[Callable] = None,
 ) -> NUTSResult:
     """:func:`run_nuts` with a DENSE mass matrix: ``theta = mu + scale @ z``.
 
@@ -574,12 +634,18 @@ def run_nuts_dense(
             S, (jnp.asarray(init, dtype) - mu[None, :]).T, lower=True).T
     else:
         z0 = jnp.zeros((d,), dtype)
+    to_theta = lambda z: space.reflect(mu + z @ S.T)
+    # the checkpoint state lives in z-coordinates (opaque to the caller;
+    # valid only with the same mu/scale) — the callback gets theta samples
+    on_seg_z = None
+    if on_segment is not None:
+        on_seg_z = lambda st, xs, lps: on_segment(st, to_theta(xs), lps)
     res = run_nuts(lambda z: loglik(mu + S @ z), z_space,
                    z0, key, cfg,
                    n_chains=n_chains, jitter=jitter,
                    value_and_grad_batch=vag_z, chain_sharding=chain_sharding,
-                   segments=segments)
-    to_theta = lambda z: space.reflect(mu + z @ S.T)
+                   segments=segments, initial_state=initial_state,
+                   on_segment=on_seg_z)
     return res._replace(samples=to_theta(res.samples),
                         best_x=space.reflect(mu + res.best_x @ S.T),
                         step_sizes=res.step_sizes)

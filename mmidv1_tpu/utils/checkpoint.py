@@ -71,6 +71,30 @@ def load_pt_state(path: str):
         return PTState(**fields)
 
 
+def save_nuts_state(path: str, state) -> None:
+    """Save a :class:`~mmidv1_tpu.calibration.nuts.NUTSState` (atomic npz).
+
+    For :func:`~mmidv1_tpu.calibration.nuts.run_nuts_dense` runs the state is
+    in whitened z-coordinates — valid to resume only with the same
+    ``mu``/``scale`` factor.
+    """
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **{k: np.asarray(v)
+                                for k, v in state._asdict().items()})
+    os.replace(tmp, path)
+
+
+def load_nuts_state(path: str):
+    from ..calibration.nuts import NUTSState
+
+    with np.load(path) as z:
+        import jax.numpy as jnp
+        return NUTSState(**{k: jnp.asarray(z[k]) for k in NUTSState._fields})
+
+
 def write_posterior_trace(path: str, samples: np.ndarray,
                           logps: Optional[np.ndarray] = None,
                           names: Optional[Sequence[str]] = None,

@@ -74,6 +74,12 @@ def main(argv=None) -> int:
     p.add_argument("--warm", default=None,
                    help="samples.npz whose final iteration warm-starts the "
                         "ensemble (chains continue from those positions)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume a checkpointed run from <out>/nuts_state.npz "
+                        "+ <out>/partial_samples.npz (written after every "
+                        "segment); the continuation is bit-identical to the "
+                        "uninterrupted run (same seed-derived key table, "
+                        "sliced at the checkpointed iteration)")
     p.add_argument("--posterior",
                    default=os.path.join(REPO, "results", "spain2020",
                                         "posterior_samples.npz"))
@@ -200,6 +206,32 @@ def main(argv=None) -> int:
     cfg = NUTSConfig(iterations=args.iterations,
                      adaptation_window=args.warmup,
                      max_tree_depth=args.depth)
+
+    # -- segment-level checkpointing: every completed segment persists the
+    # sampler state + all samples so far, so a killed multi-hour run loses at
+    # most one segment (tunneled-TPU RPCs drop; --resume continues exactly)
+    from mmidv1_tpu.utils.checkpoint import load_nuts_state, save_nuts_state
+    os.makedirs(args.out, exist_ok=True)
+    state_path = os.path.join(args.out, "nuts_state.npz")
+    partial_path = os.path.join(args.out, "partial_samples.npz")
+    prev_xs, prev_lps = [], []
+    initial_state = None
+    if args.resume and os.path.exists(state_path):
+        initial_state = load_nuts_state(state_path)
+        if os.path.exists(partial_path):
+            with np.load(partial_path) as z:
+                prev_xs, prev_lps = [z["samples"]], [z["logps"]]
+        print(f"resuming from iteration {int(initial_state.it)}")
+
+    def on_segment(state, xs, lps):
+        prev_xs.append(np.asarray(xs))
+        prev_lps.append(np.asarray(lps))
+        save_nuts_state(state_path, state)
+        tmp = partial_path + ".tmp.npz"
+        np.savez(tmp, samples=np.concatenate(prev_xs, axis=0),
+                 logps=np.concatenate(prev_lps, axis=0))
+        os.replace(tmp, partial_path)
+
     t0 = time.perf_counter()
     if args.mass in ("laplace-dense", "empirical-dense"):
         res = run_nuts_dense(loglik, space, jax.random.PRNGKey(args.seed),
@@ -208,7 +240,9 @@ def main(argv=None) -> int:
                              n_chains=args.chains, jitter=args.jitter,
                              value_and_grad_batch=vag,
                              segments=args.segments,
-                             init=warm_init)
+                             init=warm_init,
+                             initial_state=initial_state,
+                             on_segment=on_segment)
     else:
         res = run_nuts_whitened(loglik, space, theta0,
                                 jax.random.PRNGKey(args.seed), cfg,
@@ -217,9 +251,16 @@ def main(argv=None) -> int:
                                 segments=args.segments)
     jax.block_until_ready(res.samples)
     wall = time.perf_counter() - t0
+    if prev_xs:
+        # full history (pre-resume parts + this process's parts)
+        res = res._replace(
+            samples=jnp.asarray(np.concatenate(prev_xs, axis=0)),
+            sample_logps=jnp.asarray(np.concatenate(prev_lps, axis=0)))
     # Every iteration costs up to 2^depth leapfrogs = value_and_grad calls
     # over the whole ensemble (masked trees run full depth — batched design).
-    grads = args.iterations * (2 ** args.depth) * args.chains
+    iters_run = args.iterations - (int(initial_state.it)
+                                   if initial_state is not None else 0)
+    grads = max(iters_run, 1) * (2 ** args.depth) * args.chains
     print(f"campaign: {args.iterations} iters x {args.chains} chains in "
           f"{wall:.0f}s ({grads / wall:.3e} value_and_grads/s incl. host)")
     print(f"mean accept-stat {float(np.mean(np.asarray(res.mean_accept))):.3f}; "

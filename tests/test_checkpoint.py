@@ -145,3 +145,46 @@ def test_checkpointed_campaign_resume_matches_uninterrupted(tmp_path, problem):
                             MHConfig(iterations=20, burn_in=5, thinning=4),
                             n_chains=8, segments=1,
                             checkpoint_path=str(tmp_path / "full.npz"))
+
+
+def test_nuts_checkpoint_resume_is_exact(tmp_path, problem):
+    """A NUTS run interrupted mid-campaign and resumed from the on-disk
+    NUTSState reproduces the uninterrupted run bit-for-bit: the
+    per-iteration key table is a pure function of the master key, sliced
+    at ``state.it`` (run_nuts ``initial_state`` semantics)."""
+    from mmidv1_tpu.calibration.nuts import NUTSConfig, run_nuts
+    from mmidv1_tpu.utils.checkpoint import load_nuts_state, save_nuts_state
+
+    loglik, space = problem
+    theta0 = jnp.zeros(2)
+    key = jax.random.PRNGKey(7)
+    cfg = NUTSConfig(iterations=12, adaptation_window=4, max_tree_depth=3)
+
+    full = run_nuts(loglik, space, theta0, key, cfg, n_chains=4, segments=4)
+
+    # interrupted run: only the first 2 of 4 segments execute, then the
+    # state round-trips through disk and a fresh call finishes the rest
+    saved = {}
+
+    def grab(state, xs, lps):
+        if int(state.it) == 6:
+            saved["state"] = state
+            saved["xs"] = np.asarray(xs)
+
+    part1 = run_nuts(loglik, space, theta0, key, cfg, n_chains=4, segments=4,
+                     on_segment=grab)
+    assert "state" in saved
+    ckpt = tmp_path / "nuts_state.npz"
+    save_nuts_state(str(ckpt), saved["state"])
+    resumed = load_nuts_state(str(ckpt))
+    for a, b in zip(resumed, saved["state"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    part2 = run_nuts(loglik, space, theta0, key, cfg, n_chains=4, segments=4,
+                     initial_state=resumed)
+    assert part2.samples.shape[0] == cfg.iterations - 6
+    glued = np.concatenate([np.asarray(full.samples[:6]),
+                            np.asarray(part2.samples)], axis=0)
+    np.testing.assert_array_equal(glued, np.asarray(full.samples))
+    np.testing.assert_array_equal(np.asarray(part1.samples),
+                                  np.asarray(full.samples))
