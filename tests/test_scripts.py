@@ -248,3 +248,57 @@ def test_map_polish_and_laplace_warm_starts(tmp_path):
     # Laplace warm start initializes at the polished MAP, so the campaign's
     # float64 MAP can never fall below it by more than proposal wander
     assert meta["best_logl_float64"] >= float(lap["ll_map"]) - 1.0
+
+
+def test_data_visualization_eda_suite(tmp_path):
+    """The EDA suite (reference scripts/DataVisualization/CovidDataVisualizer
+    run_all_visualizations) renders every figure group from the committed
+    processed data."""
+    sys.path.insert(0, SCRIPTS)
+    import data_visualization as dv
+
+    rc = dv.main(["eda", "--out", str(tmp_path)])
+    assert rc == 0
+    made = sorted(os.listdir(tmp_path))
+    # one file per figure in every group: 4 new + 4 cumulative + 16 age
+    # (8 metrics x grouped/stacked) + 4 rates + growth + dashboard
+    assert len(made) == 30
+    assert "dashboard_overview.png" in made
+    assert "stacked_new_confirmed_by_age.png" in made
+    for f in made:
+        assert os.path.getsize(os.path.join(tmp_path, f)) > 10_000
+
+
+def test_data_visualization_dynamics_simulate(tmp_path):
+    """plot-dynamics --simulate runs the in-repo forward model and renders a
+    panel per compartment (reference plot_sepaihrd_dynamics.py:19-117)."""
+    sys.path.insert(0, SCRIPTS)
+    import data_visualization as dv
+
+    rc = dv.main(["plot-dynamics", "--simulate", "--out", str(tmp_path)])
+    assert rc == 0
+    made = sorted(os.listdir(tmp_path))
+    assert made == [f"sepaihrd_{c}.png"
+                    for c in sorted(dv.COMPARTMENTS)]
+
+
+def test_data_visualization_dynamics_csv_roundtrip(tmp_path):
+    """A trajectory written by save_results_csv is readable by the dynamics
+    plotter (the reference consumes the C++ binary's CSVs the same way)."""
+    import numpy as np
+
+    from mmidv1_tpu.models.results import save_results_csv
+    from mmidv1_tpu.constants import COMPARTMENTS
+
+    sys.path.insert(0, SCRIPTS)
+    import data_visualization as dv
+
+    T, A = 20, 4
+    traj = np.abs(np.random.default_rng(0).normal(
+        size=(T, len(COMPARTMENTS), A))) * 100
+    csv = tmp_path / "sim.csv"
+    save_results_csv(str(csv), np.arange(float(T)), traj, COMPARTMENTS)
+    rc = dv.main(["plot-dynamics", "--csv", str(csv),
+                  "--out", str(tmp_path / "figs"), "--log"])
+    assert rc == 0
+    assert len(os.listdir(tmp_path / "figs")) == 9
