@@ -74,12 +74,50 @@ def effective_sample_size(samples: np.ndarray, max_lag: int = 200) -> np.ndarray
     return ess
 
 
+def _rank_normalize(samples: np.ndarray) -> np.ndarray:
+    """Fractional ranks over ALL draws -> inverse-normal transform
+    (Vehtari, Gelman, Simpson, Carpenter & Bürkner 2021, eq. 14: z =
+    Phi^-1((r - 3/8) / (S + 1/4))). Shape-preserving over (n, m, d)."""
+    from scipy.special import ndtri
+
+    x = np.asarray(samples, dtype=np.float64)
+    n, m, d = x.shape
+    flat = x.reshape(n * m, d)
+    # average ranks for ties via double argsort on a stable sort
+    order = np.argsort(flat, axis=0, kind="stable")
+    ranks = np.empty_like(flat)
+    rng = np.arange(1, n * m + 1, dtype=np.float64)[:, None]
+    np.put_along_axis(ranks, order, np.broadcast_to(rng, flat.shape), axis=0)
+    z = ndtri((ranks - 0.375) / (n * m + 0.25))
+    return z.reshape(n, m, d)
+
+
+def rank_normalized_rhat(samples: np.ndarray) -> np.ndarray:
+    """Rank-normalized split-R-hat (Vehtari et al. 2021): max of the bulk
+    statistic (split-R-hat of the rank-normal-transformed draws) and the
+    tail statistic (same transform of the folded draws |x - median|),
+    robust to heavy tails and scale differences that break the classical
+    statistic. The production posterior here is a curved heavy-tailed ridge
+    (PARITY.md round-2 addendum), exactly the regime the rank version is
+    for. Convergence bar: < 1.01 strict / < 1.05 lenient, applied to BOTH
+    bulk and tail via the returned max."""
+    x = np.asarray(samples, dtype=np.float64)
+    bulk = split_rhat(_rank_normalize(x))
+    folded = np.abs(x - np.median(x.reshape(-1, x.shape[-1]), axis=0))
+    tail = split_rhat(_rank_normalize(folded))
+    return np.maximum(bulk, tail)
+
+
 def summarize(samples: np.ndarray,
               names: Sequence[str]) -> Dict[str, Dict[str, float]]:
-    """Per-parameter convergence summary: {name: {rhat, ess, ess_per_draw}}."""
+    """Per-parameter convergence summary:
+    {name: {rhat, rank_rhat, ess, ess_per_draw}} — ``rhat`` is the classical
+    split statistic, ``rank_rhat`` the rank-normalized bulk/tail max."""
     rhat = split_rhat(samples)
+    rrhat = rank_normalized_rhat(samples)
     ess = effective_sample_size(samples)
     n_total = samples.shape[0] * samples.shape[1]
-    return {name: {"rhat": float(rhat[j]), "ess": float(ess[j]),
+    return {name: {"rhat": float(rhat[j]), "rank_rhat": float(rrhat[j]),
+                   "ess": float(ess[j]),
                    "ess_per_draw": float(ess[j] / n_total)}
             for j, name in enumerate(names)}

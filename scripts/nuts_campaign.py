@@ -282,8 +282,10 @@ def main(argv=None) -> int:
     sub = samples[:, :: max(1, samples.shape[1] // 512), :]
     diag = summarize(sub, list(space.names))
     max_rhat = max(v["rhat"] for v in diag.values())
+    max_rank_rhat = max(v["rank_rhat"] for v in diag.values())
     min_ess = min(v["ess"] for v in diag.values())
-    print(f"convergence: max split-R-hat {max_rhat:.3f}, min ESS {min_ess:.0f}"
+    print(f"convergence: max split-R-hat {max_rhat:.3f} "
+          f"(rank-normalized {max_rank_rhat:.3f}), min ESS {min_ess:.0f}"
           f" -> min-ESS/s {min_ess / wall:.2f}")
 
     # float64 MAP re-selection over per-chain bests (f32 noise floor ~1e2 at
@@ -316,7 +318,9 @@ def main(argv=None) -> int:
             "mean_accept": float(np.mean(np.asarray(res.mean_accept))),
             "mean_tree_depth": float(np.mean(np.asarray(res.mean_depth))),
             "best_logl_float64": float(lls[k]),
-            "diagnostics": {"max_rhat": max_rhat, "min_ess": min_ess,
+            "diagnostics": {"max_rhat": max_rhat,
+                            "max_rank_rhat": max_rank_rhat,
+                            "min_ess": min_ess,
                             "min_ess_per_sec": min_ess / wall,
                             "per_parameter": diag},
             "seed": args.seed,

@@ -270,3 +270,29 @@ def test_convergence_diagnostics():
     s = summarize(iid, ["a", "b", "c"])
     assert set(s) == {"a", "b", "c"}
     assert 0.9 < s["a"]["rhat"] < 1.05
+
+
+def test_rank_normalized_rhat():
+    """Vehtari et al. 2021 rank-normalized bulk/tail R-hat: ~1 for iid
+    heavy-tailed chains (where the classical statistic is noisy), large for
+    a VARIANCE mismatch between chains (which the classical bulk statistic
+    misses entirely but the folded/tail statistic catches)."""
+    from mmidv1_tpu.analysis.diagnostics import (rank_normalized_rhat,
+                                                 split_rhat, summarize)
+
+    rng = np.random.default_rng(3)
+    # heavy-tailed iid: Cauchy draws have no mean/variance, classical R-hat
+    # is unstable; the rank version must still read ~1
+    cauchy = rng.standard_cauchy(size=(1000, 8, 2))
+    rr = rank_normalized_rhat(cauchy)
+    assert (rr < 1.02).all()
+
+    # same means, 5x the std in one chain: classical bulk R-hat stays near
+    # 1.0x-1.1 while the tail (folded) statistic flags it
+    scale = rng.normal(size=(1000, 8, 1))
+    scale[:, 0, :] *= 5.0
+    assert rank_normalized_rhat(scale)[0] > 1.1
+    assert rank_normalized_rhat(scale)[0] > split_rhat(scale)[0] + 0.1
+
+    s = summarize(rng.normal(size=(500, 4, 2)), ["a", "b"])
+    assert 0.95 < s["a"]["rank_rhat"] < 1.05
