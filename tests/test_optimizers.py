@@ -349,3 +349,101 @@ def test_nuts_dense_converges_to_rhat_bar():
     assert worst < 1.05, worst
     assert worst_rank < 1.05, worst_rank
     assert min(v["ess"] for v in diag.values()) > 100
+
+
+def test_iterative_tree_matches_recursive_reference():
+    """The iterative O(depth) _build_tree must reproduce the recursive
+    Hoffman & Gelman Alg. 6 subtree EXACTLY on its deterministic outputs:
+    endpoints (theta/r/grad plus and minus), the stop flag s', the
+    valid-leaf count n', and the dual-averaging statistics (alpha, n_alpha).
+    (The in-subtree proposal is reservoir-sampled leaf-by-leaf, which has the
+    same uniform-over-valid-leaves LAW as the recursive join but a different
+    RNG stream, so theta_prime is compared distributionally elsewhere —
+    test_nuts_samples_gaussian.) A single chain, both directions, depths
+    1-4, several momentum draws."""
+    from mmidv1_tpu.calibration.nuts import (DELTA_MAX, _build_tree,
+                                             _clip_grad)
+
+    d = 2
+    space = _space(d, lo=-100.0, hi=100.0, sigma=1.0)
+    cov = np.array([[1.0, 0.7], [0.7, 2.0]])
+    prec = np.linalg.inv(cov)
+    logp = lambda x: -0.5 * x @ prec @ x
+
+    def vag_np(x):
+        return logp(x), -prec @ x
+
+    def clip_np(g):
+        n = np.linalg.norm(g)
+        return g * min(1.0, 1000.0 / n) if np.isfinite(n) and n > 0 else g * 0
+
+    def leapfrog_np(th, r, g, ve):
+        r_half = r + 0.5 * ve * clip_np(g)
+        th1 = np.clip(th + ve * r_half, -100.0, 100.0)
+        lp1, g1 = vag_np(th1)
+        r1 = r_half + 0.5 * ve * clip_np(g1)
+        return th1, r1, g1, lp1
+
+    def build_tree_np(th, r, g, log_u, v, j, eps, joint0):
+        """Recursive H&G Alg 6 (deterministic parts only)."""
+        if j == 0:
+            th1, r1, g1, lp1 = leapfrog_np(th, r, g, v * eps)
+            joint = lp1 - 0.5 * r1 @ r1
+            finite = np.isfinite(joint)
+            n1 = int(finite and log_u <= joint)
+            s1 = int(finite and log_u < joint + DELTA_MAX)
+            a1 = min(1.0, np.exp(joint - joint0)) if finite else 0.0
+            return (th1, r1, g1, th1, r1, g1, s1, n1, a1, 1.0)
+        (tm, rm, gm, tp, rp, gp, s1, n1, a1, na1) = build_tree_np(
+            th, r, g, log_u, v, j - 1, eps, joint0)
+        if s1 == 1:
+            edge = (tp, rp, gp) if v > 0 else (tm, rm, gm)
+            (tm2, rm2, gm2, tp2, rp2, gp2, s2, n2, a2, na2) = build_tree_np(
+                *edge, log_u, v, j - 1, eps, joint0)
+            if v > 0:
+                tp, rp, gp = tp2, rp2, gp2
+            else:
+                tm, rm, gm = tm2, rm2, gm2
+            dth = tp - tm
+            s1 = s2 * int(dth @ rm >= 0) * int(dth @ rp >= 0)
+            n1, a1, na1 = n1 + n2, a1 + a2, na1 + na2
+        return (tm, rm, gm, tp, rp, gp, s1, n1, a1, na1)
+
+    vag_batch = jax.vmap(
+        jax.value_and_grad(lambda x: -0.5 * x @ jnp.asarray(prec) @ x))
+    rng = np.random.default_rng(7)
+    checked_stops = 0
+    for trial in range(6):
+        th0 = rng.normal(size=d) * 2.0
+        r0 = rng.normal(size=d)
+        lp0, g0 = vag_np(th0)
+        joint0 = lp0 - 0.5 * r0 @ r0
+        # mix of slice levels: some tight (early divergence), some loose
+        log_u = joint0 - abs(rng.normal()) * (10.0 if trial % 2 else 0.5)
+        for v in (-1.0, 1.0):
+            for j in range(1, 5):
+                eps = 0.3 if trial % 3 else 1.5   # large eps provokes stops
+                ref = build_tree_np(th0, r0, g0, log_u, v, j, eps, joint0)
+                out = _build_tree(
+                    vag_batch, space,
+                    jnp.asarray(th0)[None], jnp.asarray(r0)[None],
+                    jnp.asarray(g0)[None], jnp.asarray([log_u]),
+                    jnp.asarray([v]), j, jnp.asarray([eps]),
+                    jnp.asarray([joint0]), jax.random.PRNGKey(trial))
+                (tm, rm, gm, tp, rp, gp, s_ref, n_ref, a_ref, na_ref) = ref
+                np.testing.assert_allclose(np.asarray(out.theta_minus[0]), tm,
+                                           rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(np.asarray(out.theta_plus[0]), tp,
+                                           rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(np.asarray(out.r_minus[0]), rm,
+                                           rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(np.asarray(out.r_plus[0]), rp,
+                                           rtol=1e-5, atol=1e-6)
+                assert int(out.s_prime[0]) == s_ref, (trial, v, j)
+                assert int(out.n_prime[0]) == n_ref, (trial, v, j)
+                np.testing.assert_allclose(float(out.alpha[0]), a_ref,
+                                           rtol=1e-5, atol=1e-6)
+                np.testing.assert_allclose(float(out.n_alpha[0]), na_ref,
+                                           rtol=1e-5)
+                checked_stops += 1 - s_ref
+    assert checked_stops > 0, "no early-stop case exercised"
