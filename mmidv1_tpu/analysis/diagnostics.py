@@ -79,15 +79,16 @@ def _rank_normalize(samples: np.ndarray) -> np.ndarray:
     (Vehtari, Gelman, Simpson, Carpenter & Bürkner 2021, eq. 14: z =
     Phi^-1((r - 3/8) / (S + 1/4))). Shape-preserving over (n, m, d)."""
     from scipy.special import ndtri
+    from scipy.stats import rankdata
 
     x = np.asarray(samples, dtype=np.float64)
     n, m, d = x.shape
     flat = x.reshape(n * m, d)
-    # average ranks for ties via double argsort on a stable sort
-    order = np.argsort(flat, axis=0, kind="stable")
-    ranks = np.empty_like(flat)
-    rng = np.arange(1, n * m + 1, dtype=np.float64)[:, None]
-    np.put_along_axis(ranks, order, np.broadcast_to(rng, flat.shape), axis=0)
+    # AVERAGE ranks for ties (eq. 14 uses fractional ranks; MCMC traces are
+    # full of exact ties — every rejected proposal repeats the previous draw
+    # verbatim — and ordinal ranks would z-score tied draws differently by
+    # position)
+    ranks = rankdata(flat, method="average", axis=0)
     z = ndtri((ranks - 0.375) / (n * m + 0.25))
     return z.reshape(n, m, d)
 

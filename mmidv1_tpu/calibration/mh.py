@@ -79,6 +79,14 @@ class MHConfig:
     # MAP lose likelihood 15-90x faster than the global covariance predicts,
     # measured). Symmetric, so the accept rule is unchanged. Batch-native:
     # partner differences are two gathers over the ensemble axis.
+    # Updating every walker simultaneously from the same pre-step ensemble
+    # would break detailed balance of the joint kernel (the naive-parallel
+    # DE-MC pitfall), so the step alternates RED-BLACK half-ensembles by
+    # global chain parity — the complementary half is frozen while the
+    # active half proposes with partners drawn ONLY from the frozen half
+    # (the same fix emcee uses for its parallel stretch move,
+    # Foreman-Mackey et al. 2013 §3). A given chain is therefore proposed
+    # every SECOND mh_step; n_chains must be even.
     proposal: str = "am"
     de_gamma1_prob: float = 0.1   # P(gamma = 1) per chain-step (mode jumps)
     de_noise: float = 1e-6        # residual N(0, (de_noise*sigmas)^2) jitter
@@ -214,19 +222,31 @@ def mh_step(state: MHState, step_key: jax.Array, space: ParameterSpace,
     n_tot = n_total or B
     z, u = _shard_invariant_draws(step_key, n_tot, offset, B, d, dtype)
     scale = jnp.exp(state.log_scale)[:, None]
+    active = None
     if cfg.proposal == "de":
-        # differential evolution: x + gamma (x_j - x_k) + tiny jitter.
+        # differential evolution: x + gamma (x_j - x_k) + tiny jitter,
+        # updated RED-BLACK by global chain parity (see MHConfig): only the
+        # half whose parity matches the step moves, and its partners j, k
+        # are drawn from the FROZEN other half, so each substep is a valid
+        # MH kernel on the active coordinates given the complement.
         # Partner indices come from GLOBAL tables (shard-invariant like the
-        # Gaussian draws); j != i and k != i by construction, j == k is
-        # allowed (prob 1/(n-1): the move degenerates to the jitter and the
-        # (j,k)<->(k,j) symmetry keeps the proposal symmetric either way).
+        # Gaussian draws); j != i holds because partners live in the other
+        # parity class, j == k is allowed (the move degenerates to the
+        # jitter; the (j,k)<->(k,j) symmetry keeps it symmetric either way).
+        if n_tot % 2:
+            raise ValueError(f"proposal='de' needs an even ensemble, "
+                             f"got n_chains={n_tot}")
         kj, kk, kg = jax.random.split(jax.random.fold_in(step_key, 1), 3)
         ids = offset + jnp.arange(B)
-        j_all = jax.random.randint(kj, (n_tot,), 1, n_tot)
-        k_all = jax.random.randint(kk, (n_tot,), 1, n_tot)
+        parity = state.step % 2
+        active = (ids % 2) == parity
+        half = n_tot // 2
+        j_all = jax.random.randint(kj, (n_tot,), 0, half)
+        k_all = jax.random.randint(kk, (n_tot,), 0, half)
         g_all = jax.random.uniform(kg, (n_tot,), dtype=dtype)
-        j = (ids + jax.lax.dynamic_slice_in_dim(j_all, offset, B, 0)) % n_tot
-        k = (ids + jax.lax.dynamic_slice_in_dim(k_all, offset, B, 0)) % n_tot
+        # global index of a frozen-half walker: 2 r + (1 - parity)
+        j = 2 * jax.lax.dynamic_slice_in_dim(j_all, offset, B, 0) + (1 - parity)
+        k = 2 * jax.lax.dynamic_slice_in_dim(k_all, offset, B, 0) + (1 - parity)
         g_u = jax.lax.dynamic_slice_in_dim(g_all, offset, B, 0)
         if axis_name is None:
             x_all = state.x
@@ -238,6 +258,7 @@ def mh_step(state: MHState, step_key: jax.Array, space: ParameterSpace,
         diff = x_all[j] - x_all[k]
         jit_e = cfg.de_noise * space.sigmas.astype(dtype) * z
         proposal = state.x + (scale * gamma[:, None]) * diff + jit_e
+        proposal = jnp.where(active[:, None], proposal, state.x)
     else:
         proposal = state.x + scale * (z @ state.chol.T)
     proposal = jax.vmap(space.reflect)(proposal)
@@ -246,6 +267,10 @@ def mh_step(state: MHState, step_key: jax.Array, space: ParameterSpace,
     log_ratio = logp_prop - state.logp
     log_u = jnp.log(u)
     accept = (log_ratio >= 0) | (log_u < log_ratio)
+    if active is not None:
+        # frozen half: proposal == state.x would self-accept and pollute the
+        # acceptance statistics, so mask it out of accept entirely
+        accept = accept & active
 
     x = jnp.where(accept[:, None], proposal, state.x)
     logp = jnp.where(accept, logp_prop, state.logp)
@@ -257,8 +282,10 @@ def mh_step(state: MHState, step_key: jax.Array, space: ParameterSpace,
     step = state.step + 1
     if cfg.adapt_scale:
         gamma = jnp.minimum(1.0 / jnp.sqrt(step.astype(dtype) + 1.0), 0.1)
-        log_scale = state.log_scale + gamma * (
-            accept.astype(dtype) - cfg.target_acceptance_rate)
+        delta = accept.astype(dtype) - cfg.target_acceptance_rate
+        if active is not None:
+            delta = jnp.where(active, delta, 0.0)   # frozen half: no signal
+        log_scale = state.log_scale + gamma * delta
         log_scale = jnp.clip(log_scale, -6.9, 2.3)
     else:
         log_scale = state.log_scale
@@ -407,7 +434,8 @@ def make_mh_runner(space: ParameterSpace, cfg: MHConfig, loglik_batch: Callable,
                                  lambda s: s, state)
         if progress_fn is not None:
             def report(s):
-                acc = jnp.mean(s.accept_count / jnp.maximum(s.step, 1))
+                ps = s.step // 2 if cfg.proposal == "de" else s.step
+                acc = jnp.mean(s.accept_count / jnp.maximum(ps, 1))
                 jax.debug.callback(progress_fn, s.step, acc,
                                    jnp.max(s.best_logp),
                                    jnp.mean(jnp.exp(s.log_scale)), ordered=False)
@@ -421,10 +449,13 @@ def make_mh_runner(space: ParameterSpace, cfg: MHConfig, loglik_batch: Callable,
         state, (samples, logps) = jax.lax.scan(
             block, state0, (jnp.arange(n_blocks), keys))
         best_x, best_logp = _global_best(state, axis_name)
+        # per-PROPOSAL acceptance: under the red-black DE scheme a chain is
+        # only proposed every second step
+        prop_steps = state.step // 2 if cfg.proposal == "de" else state.step
         return MHResult(
             samples=samples, sample_logps=logps,
             best_x=best_x, best_logp=best_logp,
-            acceptance_rate=state.accept_count / jnp.maximum(state.step, 1),
+            acceptance_rate=state.accept_count / jnp.maximum(prop_steps, 1),
             final_cov=state.cov, final_scale=jnp.exp(state.log_scale),
             final_state=state)
 

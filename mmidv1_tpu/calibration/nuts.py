@@ -550,8 +550,9 @@ def run_nuts_whitened(
     the proposal sigmas restores a comparable step in every direction — the
     same information the reference's AM proposal uses
     (``SEPAIHRDModelCalibration.cpp:214-236`` seeds its covariance from the
-    same sigma file). Returned samples/best_x/step_sizes are mapped back to
-    theta units (``eps * sigma_i`` is the per-coordinate leapfrog step).
+    same sigma file). Returned samples/best_x are mapped back to theta
+    units; step_sizes stay in WHITENED units (``eps * sigma_i`` is the
+    per-coordinate leapfrog step in theta units).
     """
     dtype = jnp.asarray(theta0).dtype
     s = space.sigmas.astype(dtype)
@@ -573,8 +574,7 @@ def run_nuts_whitened(
                    n_chains=n_chains, jitter=jitter,
                    value_and_grad_batch=vag_z, chain_sharding=chain_sharding,
                    segments=segments)
-    return res._replace(samples=res.samples * s, best_x=res.best_x * s,
-                        step_sizes=res.step_sizes)
+    return res._replace(samples=res.samples * s, best_x=res.best_x * s)
 
 
 def run_nuts_dense(
@@ -629,9 +629,11 @@ def run_nuts_dense(
         return lp, g @ S
 
     if init is not None:
-        # warm ensemble start at given theta positions: z = S^-1 (theta - mu)
-        z0 = jax.scipy.linalg.solve_triangular(
-            S, (jnp.asarray(init, dtype) - mu[None, :]).T, lower=True).T
+        # warm ensemble start at given theta positions: z = S^-1 (theta - mu).
+        # General solve, not solve_triangular: `scale` is documented as ANY
+        # (d, d) covariance factor, not necessarily lower-triangular.
+        z0 = jnp.linalg.solve(
+            S, (jnp.asarray(init, dtype) - mu[None, :]).T).T
     else:
         z0 = jnp.zeros((d,), dtype)
     to_theta = lambda z: space.reflect(mu + z @ S.T)

@@ -280,7 +280,9 @@ def pt_adapt_ladder(state: PTState, cfg: PTConfig) -> PTState:
     if K < 3:          # endpoints are pinned; nothing to adapt below 3 rungs
         return state
     dtype = state.ladder_s.dtype
-    t = state.step.astype(dtype)
+    # gain timescale is documented in SWAP SWEEPS; state.step counts MH
+    # steps, which advance swap_every times per sweep
+    t = (state.step // max(1, cfg.swap_every)).astype(dtype)
     gain = cfg.ladder_kappa * cfg.ladder_t0 / (t + cfg.ladder_t0)
     s = state.ladder_s + gain * (state.swap_prob
                                  - jnp.mean(state.swap_prob))

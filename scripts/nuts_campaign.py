@@ -222,11 +222,25 @@ def main(argv=None) -> int:
     partial_path = os.path.join(args.out, "partial_samples.npz")
     prev_xs, prev_lps = [], []
     initial_state = None
-    if args.resume and os.path.exists(state_path):
+    if args.resume:
+        # resume is only wired through run_nuts_dense (the checkpointed
+        # state lives in z-coordinates of the dense mass); a whitened-mode
+        # "resume" would silently restart from scratch and then substitute
+        # the stale partial trace for the fresh samples
+        if args.mass not in ("laplace-dense", "empirical-dense"):
+            p.error("--resume requires a dense mass mode "
+                    "(laplace-dense / empirical-dense)")
+        if not os.path.exists(state_path):
+            p.error(f"--resume: no checkpoint at {state_path}")
+        if not os.path.exists(partial_path):
+            # without the partial trace the resumed run's samples would
+            # start mid-campaign and the warmup slice below would drop
+            # non-warmup draws
+            p.error(f"--resume: checkpoint exists but {partial_path} is "
+                    "missing; cannot reconstruct the full trace")
         initial_state = load_nuts_state(state_path)
-        if os.path.exists(partial_path):
-            with np.load(partial_path) as z:
-                prev_xs, prev_lps = [z["samples"]], [z["logps"]]
+        with np.load(partial_path) as z:
+            prev_xs, prev_lps = [z["samples"]], [z["logps"]]
         print(f"resuming from iteration {int(initial_state.it)}")
 
     def on_segment(state, xs, lps):

@@ -14,6 +14,7 @@ Usage:
 """
 
 import argparse
+import glob as glob_mod
 import json
 import os
 import sys
@@ -63,8 +64,8 @@ def main(argv=None) -> int:
                         "lose likelihood 15-90x faster than the global "
                         "covariance predicts)")
     p.add_argument("--laplace", default=None,
-                   help="path to a laplace_mass.npz (see "
-                        "scripts/laplace_mass.py): start every chain at the "
+                   help="path to a laplace_mass.npz (produced by "
+                        "scripts/map_polish.py): start every chain at the "
                         "polished MAP, jitter and propose at the Laplace "
                         "posterior scale, and seed the adaptive-Metropolis "
                         "covariance with the Laplace covariance. Without "
@@ -208,13 +209,27 @@ def main(argv=None) -> int:
             save_pt_state(ckpt, state)
         if res is None:
             raise SystemExit("PT checkpoint already covers all segments")
-        import glob
-        seg_files = sorted(glob.glob(os.path.join(args.out,
-                                                  "pt_segment_*.npz")))
-        with_segs = [np.load(f) for f in seg_files]
-        all_samples = np.concatenate([z["samples"] for z in with_segs], axis=0)
-        all_logps = np.concatenate([z["sample_logps"] for z in with_segs],
-                                   axis=0)
+        # Concatenate exactly the segments THIS campaign covers (0..segments),
+        # not a bare glob: stale pt_segment files from an earlier, larger or
+        # differently-configured run in the same out dir must not leak into
+        # the posterior.
+        seg_files = [os.path.join(args.out, f"pt_segment_{s:04d}.npz")
+                     for s in range(args.segments)]
+        missing = [f for f in seg_files if not os.path.exists(f)]
+        if missing:
+            raise SystemExit(f"missing PT segment files: {missing[:3]}...")
+        stale = sorted(set(glob_mod.glob(
+            os.path.join(args.out, "pt_segment_*.npz"))) - set(seg_files))
+        if stale:
+            print(f"WARNING: ignoring {len(stale)} stale pt_segment files "
+                  f"beyond --segments {args.segments} (e.g. {stale[-1]})")
+        all_xs, all_lps = [], []
+        for f in seg_files:
+            with np.load(f) as z:
+                all_xs.append(z["samples"])
+                all_lps.append(z["sample_logps"])
+        all_samples = np.concatenate(all_xs, axis=0)
+        all_logps = np.concatenate(all_lps, axis=0)
         # Drop draws recorded during burn-in: the temperature ladder is still
         # adapting there (pt_adapt_ladder freezes at step == burn_in), so
         # those draws come from a moving kernel and would contaminate both

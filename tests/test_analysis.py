@@ -296,3 +296,14 @@ def test_rank_normalized_rhat():
 
     s = summarize(rng.normal(size=(500, 4, 2)), ["a", "b"])
     assert 0.95 < s["a"]["rank_rhat"] < 1.05
+
+    # exact ties (every rejected MCMC proposal repeats the previous draw)
+    # must receive IDENTICAL z-scores — average ranks, not ordinal
+    from mmidv1_tpu.analysis.diagnostics import _rank_normalize
+    x = np.array([[1.0, 1.0], [2.0, 2.0], [1.0, 3.0]])[:, :, None]
+    z = _rank_normalize(x)
+    assert z[0, 0, 0] == z[0, 1, 0] == z[2, 0, 0]   # the three 1.0 draws
+    assert z[1, 0, 0] == z[1, 1, 0]                  # the two 2.0 draws
+    # sticky chains (10x-repeated draws, same law per chain) stay ~1
+    sticky = np.repeat(rng.normal(size=(100, 8, 2)), 10, axis=0)
+    assert rank_normalized_rhat(sticky).max() < 1.05
