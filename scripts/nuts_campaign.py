@@ -93,6 +93,18 @@ def main(argv=None) -> int:
                                         "calibrated_parameters.txt"))
     p.add_argument("--out",
                    default=os.path.join(REPO, "results", "spain2020_nuts"))
+    p.add_argument("--stages", type=int, default=1,
+                   help="mass-refinement ladder depth (dense modes only): "
+                        "each pre-final stage runs --stage-iterations, "
+                        "re-estimates the dense mass from its post-warmup "
+                        "draws, and warm-starts the next stage from its "
+                        "final ensemble; only the final stage's draws form "
+                        "the posterior")
+    p.add_argument("--stage-iterations", type=int, default=0,
+                   help="iterations per pre-final stage (0 -> 2x --warmup)")
+    p.add_argument("--report", action="store_true",
+                   help="regenerate the full analysis tree (PPC bands, Rt, "
+                        "metrics, scenarios) from the campaign posterior")
     p.add_argument("--platform", default="default", choices=["default", "cpu"],
                    help="'cpu' forces the CPU backend (smoke tests; the "
                         "JAX_PLATFORMS env var cannot override the axon "
@@ -222,6 +234,12 @@ def main(argv=None) -> int:
     partial_path = os.path.join(args.out, "partial_samples.npz")
     prev_xs, prev_lps = [], []
     initial_state = None
+    if args.stages > 1 and args.mass not in ("laplace-dense",
+                                             "empirical-dense"):
+        p.error("--stages > 1 requires a dense mass mode")
+    if args.resume and args.stages > 1:
+        p.error("--resume continues a single-stage run; rerun the final "
+                "stage alone (its mass is already on disk via --trace)")
     if args.resume:
         # resume is only wired through run_nuts_dense (the checkpointed
         # state lives in z-coordinates of the dense mass); a whitened-mode
@@ -254,6 +272,38 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     if args.mass in ("laplace-dense", "empirical-dense"):
+        # optional mass-refinement ladder: each pre-final stage runs a short
+        # adaptation campaign, then the dense mass is re-estimated from ITS
+        # post-warmup draws and the next stage warm-starts from its final
+        # ensemble (the measured two-stage recipe — the Laplace mass
+        # under-scales soft directions ~6x; real HMC draws are the right
+        # width — generalized to N stages). Only the final stage's draws
+        # form the posterior; only the final stage checkpoints.
+        stage_iters = args.stage_iterations or 2 * args.warmup
+        for stage in range(args.stages - 1):
+            s_cfg = NUTSConfig(iterations=stage_iters,
+                               adaptation_window=args.warmup,
+                               max_tree_depth=args.depth)
+            res = run_nuts_dense(loglik, space,
+                                 jax.random.fold_in(
+                                     jax.random.PRNGKey(args.seed), stage + 1),
+                                 s_cfg, mu=theta0,
+                                 scale=jnp.asarray(dense_scale, dtype),
+                                 n_chains=args.chains, jitter=args.jitter,
+                                 value_and_grad_batch=vag,
+                                 segments=max(1, args.segments // 4),
+                                 init=warm_init)
+            jax.block_until_ready(res.samples)
+            draws = np.asarray(
+                res.samples[args.warmup:]).reshape(-1, space.dim)
+            cov_emp = np.cov(draws.astype(np.float64), rowvar=False)
+            dg = np.diag(np.maximum(np.diag(cov_emp), 1e-24))
+            dense_scale = np.linalg.cholesky(0.9 * cov_emp + 0.1 * dg)
+            warm_init = np.asarray(res.samples[-1])
+            print(f"stage {stage + 1}/{args.stages}: mass refreshed from "
+                  f"{draws.shape[0]} draws (marginal-std range "
+                  f"{np.sqrt(np.diag(cov_emp)).min():.2e}.."
+                  f"{np.sqrt(np.diag(cov_emp)).max():.2e})")
         res = run_nuts_dense(loglik, space, jax.random.PRNGKey(args.seed),
                              cfg, mu=theta0,
                              scale=jnp.asarray(dense_scale, dtype),
@@ -307,6 +357,17 @@ def main(argv=None) -> int:
     print(f"convergence: max split-R-hat {max_rhat:.3f} "
           f"(rank-normalized {max_rank_rhat:.3f}), min ESS {min_ess:.0f}"
           f" -> min-ESS/s {min_ess / wall:.2f}")
+
+    if args.report:
+        # full analysis tree from the posterior (PPC bands, Rt, metrics,
+        # scenarios — same layer production_campaign.py uses); must run
+        # BEFORE the x64 flip below, which changes every jitted dtype
+        from mmidv1_tpu.analysis import generate_full_report
+        out = generate_full_report(samples, space, params, data, ts,
+                                   args.out, num_samples_for_ppc=200,
+                                   batch_size=1024, substeps=args.substeps,
+                                   seed=args.seed)
+        print(f"report over {out['n_draws']} draws -> {args.out}")
 
     # float64 MAP re-selection over per-chain bests (f32 noise floor ~1e2 at
     # LL ~1.4e6 — PARITY.md reproducibility note 2)

@@ -302,3 +302,23 @@ def test_data_visualization_dynamics_csv_roundtrip(tmp_path):
                   "--out", str(tmp_path / "figs"), "--log"])
     assert rc == 0
     assert len(os.listdir(tmp_path / "figs")) == 9
+
+
+def test_nuts_campaign_resume_guards(tmp_path):
+    """--resume must refuse configurations that would silently corrupt the
+    trace: non-dense mass modes (run_nuts_whitened has no resume path) and
+    a checkpoint without its partial-samples sibling."""
+    sys.path.insert(0, SCRIPTS)
+    import nuts_campaign
+
+    with pytest.raises(SystemExit):
+        nuts_campaign.main(["--resume", "--mass", "laplace",
+                            "--platform", "cpu", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit):   # dense mode but no checkpoint on disk
+        nuts_campaign.main(["--resume", "--mass", "laplace-dense",
+                            "--platform", "cpu", "--out", str(tmp_path)])
+    # checkpoint present but partial trace missing -> refuse
+    (tmp_path / "nuts_state.npz").write_bytes(b"")
+    with pytest.raises(SystemExit):
+        nuts_campaign.main(["--resume", "--mass", "laplace-dense",
+                            "--platform", "cpu", "--out", str(tmp_path)])
