@@ -33,7 +33,12 @@ def split_rhat(samples: np.ndarray) -> np.ndarray:
     var_plus = (n - 1) / n * W + B / n
     with np.errstate(divide="ignore", invalid="ignore"):
         rhat = np.sqrt(var_plus / W)
-    return np.where(W > 0, rhat, 1.0)
+    # Chains frozen at distinct (near-)constants drive W to the float-noise
+    # floor (~1e-34: the one-ulp error of the mean of n identical values)
+    # while B stays finite, producing astronomical ratios that read as bugs
+    # in reports. Clip to a ceiling that still says "hugely non-converged";
+    # exactly-constant parameters (W == 0 bitwise) report 1.0.
+    return np.where(W > 0, np.minimum(rhat, 1e6), 1.0)
 
 
 def effective_sample_size(samples: np.ndarray, max_lag: int = 200) -> np.ndarray:

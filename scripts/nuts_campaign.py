@@ -269,6 +269,18 @@ def main(argv=None) -> int:
         np.savez(tmp, samples=np.concatenate(prev_xs, axis=0),
                  logps=np.concatenate(prev_lps, axis=0))
         os.replace(tmp, partial_path)
+        # live convergence read on the accumulated post-warmup draws (chain
+        # subset; host-side NumPy) so a long TPU campaign can be steered —
+        # extended, restaged, or stopped early — without waiting for the end
+        acc = np.concatenate(prev_xs, axis=0)
+        if acc.shape[0] > args.warmup + 20:
+            from mmidv1_tpu.analysis.diagnostics import split_rhat
+            sub = acc[args.warmup:, :: max(1, acc.shape[1] // 128), :]
+            r = split_rhat(sub)
+            worst = np.argsort(-r)[:3]
+            stat = ", ".join(f"{space.names[j]} {r[j]:.2f}" for j in worst)
+            print(f"  [seg @ iter {int(state.it)}] worst split-R-hat: {stat}",
+                  flush=True)
 
     t0 = time.perf_counter()
     if args.mass in ("laplace-dense", "empirical-dense"):
