@@ -240,6 +240,8 @@ def main(argv=None) -> int:
     if args.resume and args.stages > 1:
         p.error("--resume continues a single-stage run; rerun the final "
                 "stage alone (its mass is already on disk via --trace)")
+    import glob as glob_mod
+    seg_glob = os.path.join(args.out, "partial_samples_[0-9]*.npz")
     if args.resume:
         # resume is only wired through run_nuts_dense (the checkpointed
         # state lives in z-coordinates of the dense mass); a whitened-mode
@@ -250,25 +252,45 @@ def main(argv=None) -> int:
                     "(laplace-dense / empirical-dense)")
         if not os.path.exists(state_path):
             p.error(f"--resume: no checkpoint at {state_path}")
-        if not os.path.exists(partial_path):
+        seg_files = sorted(glob_mod.glob(seg_glob))
+        if os.path.exists(partial_path):     # legacy cumulative format:
+            seg_files.insert(0, partial_path)  # always the oldest chunk
+        if not seg_files:
             # without the partial trace the resumed run's samples would
             # start mid-campaign and the warmup slice below would drop
             # non-warmup draws
-            p.error(f"--resume: checkpoint exists but {partial_path} is "
-                    "missing; cannot reconstruct the full trace")
+            p.error(f"--resume: checkpoint exists but no partial samples in "
+                    f"{args.out}; cannot reconstruct the full trace")
         initial_state = load_nuts_state(state_path)
-        with np.load(partial_path) as z:
-            prev_xs, prev_lps = [z["samples"]], [z["logps"]]
-        print(f"resuming from iteration {int(initial_state.it)}")
+        for f in seg_files:
+            with np.load(f) as z:
+                prev_xs.append(z["samples"])
+                prev_lps.append(z["logps"])
+        print(f"resuming from iteration {int(initial_state.it)} "
+              f"({len(seg_files)} partial files)")
+    else:
+        # a fresh run must not inherit another campaign's partial files —
+        # they would be concatenated into the posterior on a later --resume
+        for f in glob_mod.glob(seg_glob):
+            os.remove(f)
+        if os.path.exists(partial_path):
+            os.remove(partial_path)
+
+    seg_counter = {"n": len(prev_xs)}
 
     def on_segment(state, xs, lps):
         prev_xs.append(np.asarray(xs))
         prev_lps.append(np.asarray(lps))
         save_nuts_state(state_path, state)
-        tmp = partial_path + ".tmp.npz"
-        np.savez(tmp, samples=np.concatenate(prev_xs, axis=0),
-                 logps=np.concatenate(prev_lps, axis=0))
-        os.replace(tmp, partial_path)
+        # one file per segment: O(segment bytes) I/O, not O(total) — at
+        # 1024 chains x 4000 iterations a cumulative rewrite would push
+        # ~40 GB through the filesystem over the campaign
+        f = os.path.join(args.out,
+                         f"partial_samples_{seg_counter['n']:04d}.npz")
+        np.savez(f + ".tmp.npz", samples=np.asarray(xs),
+                 logps=np.asarray(lps))
+        os.replace(f + ".tmp.npz", f)
+        seg_counter["n"] += 1
         # live convergence read on the accumulated post-warmup draws (chain
         # subset; host-side NumPy) so a long TPU campaign can be steered —
         # extended, restaged, or stopped early — without waiting for the end
