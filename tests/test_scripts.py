@@ -322,3 +322,42 @@ def test_nuts_campaign_resume_guards(tmp_path):
     with pytest.raises(SystemExit):
         nuts_campaign.main(["--resume", "--mass", "laplace-dense",
                             "--platform", "cpu", "--out", str(tmp_path)])
+
+
+def test_refresh_artifact(tmp_path):
+    """refresh_artifact.py promotes a campaign into the artifact layout:
+    flattened posterior subsample, metadata campaign block + diagnostics,
+    MAP adopted only when the float64 LL improves."""
+    import json
+
+    import numpy as np
+    sys.path.insert(0, SCRIPTS)
+    import refresh_artifact
+
+    camp = tmp_path / "camp"
+    camp.mkdir()
+    art = tmp_path / "art"
+    art.mkdir()
+    rng = np.random.default_rng(0)
+    names = [f"p{i}" for i in range(3)]
+    np.savez(camp / "samples.npz", samples=rng.normal(size=(20, 4, 3)),
+             logps=rng.normal(size=(20, 4)), names=np.asarray(names))
+    (camp / "campaign_metadata.json").write_text(json.dumps({
+        "sampler": "nuts_test", "chains": 4, "iterations": 20,
+        "best_logl_float64": 2.0,
+        "diagnostics": {"max_rhat": 1.01, "max_rank_rhat": 1.02,
+                        "min_ess": 500.0}}))
+    (camp / "calibrated_parameters.txt").write_text("stub\n")
+    (art / "run_metadata.json").write_text(json.dumps(
+        {"best_logl_float64": 1.0}))
+
+    rc = refresh_artifact.main([str(camp), "--artifact", str(art),
+                                "--draws", "30"])
+    assert rc == 0
+    z = np.load(art / "posterior_samples.npz")
+    assert z["samples"].shape == (30, 3)
+    meta = json.loads((art / "run_metadata.json").read_text())
+    assert meta["best_logl_float64"] == 2.0          # adopted (2.0 > 1.0)
+    assert (art / "calibrated_parameters.txt").read_text() == "stub\n"
+    assert meta["campaign_diagnostics"]["max_rhat"] == 1.01
+    assert "nuts_test" in meta["posterior_source"]
