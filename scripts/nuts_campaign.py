@@ -105,6 +105,10 @@ def main(argv=None) -> int:
     p.add_argument("--report", action="store_true",
                    help="regenerate the full analysis tree (PPC bands, Rt, "
                         "metrics, scenarios) from the campaign posterior")
+    p.add_argument("--require-rhat", type=float, default=0.0,
+                   help="exit nonzero unless BOTH max split-R-hat and max "
+                        "rank-normalized R-hat land under this bar "
+                        "(0 = no gate)")
     p.add_argument("--platform", default="default", choices=["default", "cpu"],
                    help="'cpu' forces the CPU backend (smoke tests; the "
                         "JAX_PLATFORMS env var cannot override the axon "
@@ -443,6 +447,12 @@ def main(argv=None) -> int:
     with open(os.path.join(args.out, "campaign_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
     print(f"artifacts -> {args.out}")
+    if args.require_rhat > 0:
+        if max(max_rhat, max_rank_rhat) >= args.require_rhat:
+            print(f"CONVERGENCE GATE FAILED: max(split {max_rhat:.3f}, "
+                  f"rank {max_rank_rhat:.3f}) >= {args.require_rhat}")
+            return 2
+        print(f"convergence gate passed (< {args.require_rhat})")
     return 0
 
 
