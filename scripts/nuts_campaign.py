@@ -88,6 +88,10 @@ def main(argv=None) -> int:
                                         "laplace_mass.npz"))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--engine", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--bwd-block", type=int, default=512,
+                   help="Pallas adjoint bwd_block_b (bwd lanes = value // 2; "
+                        "512 is the conservative default — run "
+                        "scripts/adjoint_lane_probe.py and pass the winner)")
     p.add_argument("--init",
                    default=os.path.join(REPO, "results", "spain2020",
                                         "calibrated_parameters.txt"))
@@ -163,7 +167,7 @@ def main(argv=None) -> int:
         vag = build_objective_pallas_grad(
             space, params, data, ts, substeps=args.substeps,
             tableau=args.tableau, constraint_mode=REFLECT, dtype=dtype,
-            block_b=min(2048, args.chains))
+            block_b=min(2048, args.chains), bwd_block_b=args.bwd_block)
         print("gradient engine: Pallas forward+adjoint kernels")
     else:
         print("gradient engine: XLA jax.value_and_grad")

@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Unattended driver for the Spain-2020 convergence campaign on TPU.
+
+The tunneled TPU comes and goes; this script polls until a TPU backend is
+reachable, then executes the staged plan from docs/CONVERGENCE.md without
+supervision:
+
+  1. ``adjoint_lane_probe.py`` — pick the backward-kernel block size
+     (512 vs 1024 lanes x2) with a parity check; fall back to 512.
+  2. A short depth probe (``--depth 10``) — read the achieved mean tree
+     depth and size the production ``--depth`` (masked trees run full
+     depth, so an oversized depth is pure waste).
+  3. The production empirical-dense NUTS campaign (1024 chains), gated at
+     ``--require-rhat 1.05``; on a tunnel drop it waits for the TPU and
+     continues with ``--resume``; on a failed gate it extends the same run
+     with ``--resume`` and a larger ``--iterations``.
+  4. ``refresh_artifact.py`` — promote the converged campaign into
+     ``results/spain2020`` and regenerate the analysis tree.
+
+Progress goes to stdout (line-buffered; run under ``tee``) and a final
+machine-readable summary lands in ``results/AUTOPILOT_DONE.json``.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+DONE_PATH = os.path.join(REPO, "results", "AUTOPILOT_DONE.json")
+
+
+def log(msg):
+    print(f"[autopilot {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def tpu_up(timeout=90):
+    """True iff a fresh process can see a TPU backend within `timeout` s."""
+    code = ("import jax; d = jax.devices(); "
+            "print('PLATFORM=' + d[0].platform)")
+    try:
+        r = subprocess.run([PY, "-c", code], capture_output=True, text=True,
+                           timeout=timeout, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return False
+    return "PLATFORM=tpu" in (r.stdout or "")
+
+
+def wait_for_tpu(poll_secs, deadline):
+    n = 0
+    while time.time() < deadline:
+        if tpu_up():
+            log("TPU is UP")
+            return True
+        n += 1
+        log(f"TPU down (probe {n}); sleeping {poll_secs}s")
+        time.sleep(poll_secs)
+    return False
+
+
+def run_logged(cmd, timeout, tag):
+    """Run cmd streaming output to stdout; return (rc, full_output)."""
+    log(f"{tag}: {' '.join(cmd)}")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, cwd=REPO)
+    lines = []
+    start = time.time()
+    try:
+        for line in proc.stdout:
+            lines.append(line)
+            print(f"  |{tag}| {line}", end="", flush=True)
+            if time.time() - start > timeout:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+        rc = proc.wait(timeout=120)
+    except subprocess.TimeoutExpired:
+        log(f"{tag}: TIMEOUT after {timeout}s — killing pid {proc.pid}")
+        proc.kill()
+        proc.wait()
+        rc = -9
+    return rc, "".join(lines)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--poll-secs", type=int, default=180)
+    p.add_argument("--deadline-hours", type=float, default=10.5,
+                   help="stop starting new work this many hours from launch")
+    p.add_argument("--chains", type=int, default=1024)
+    p.add_argument("--iterations", type=int, default=4000)
+    p.add_argument("--warmup", type=int, default=500)
+    p.add_argument("--segments", type=int, default=100)
+    p.add_argument("--max-iterations", type=int, default=12000,
+                   help="stop extending past this many total iterations")
+    p.add_argument("--extend-by", type=int, default=2000)
+    p.add_argument("--trace", default=os.path.join(
+        REPO, "results", "spain2020_nuts_r6", "samples.npz"))
+    p.add_argument("--out", default=os.path.join(
+        REPO, "results", "spain2020_nuts_r7"))
+    p.add_argument("--skip-probes", action="store_true")
+    args = p.parse_args(argv)
+
+    deadline = time.time() + args.deadline_hours * 3600
+    summary = {"status": "started", "stages": {}}
+
+    def checkpoint_summary():
+        os.makedirs(os.path.dirname(DONE_PATH), exist_ok=True)
+        with open(DONE_PATH + ".tmp", "w") as f:
+            json.dump(summary, f, indent=2)
+        os.replace(DONE_PATH + ".tmp", DONE_PATH)
+
+    if not wait_for_tpu(args.poll_secs, deadline):
+        summary["status"] = "tpu_never_came_up"
+        checkpoint_summary()
+        return 1
+
+    # ---- stage 1: lane probe --------------------------------------------
+    bwd_block = 512
+    if not args.skip_probes:
+        rc, out = run_logged(
+            [PY, os.path.join(REPO, "scripts", "adjoint_lane_probe.py"),
+             "--batch", "2048", "--steps", "20"], timeout=1800, tag="lane")
+        m = re.search(r"winner: bwd_block_b=(\d+)", out)
+        par = re.search(r"max rel \|dgrad\| (\S+)", out)
+        if rc == 0 and m and par and float(par.group(1)) < 1e-2:
+            bwd_block = int(m.group(1))
+        summary["stages"]["lane_probe"] = {
+            "rc": rc, "bwd_block": bwd_block,
+            "parity": par.group(1) if par else None}
+        log(f"lane probe -> bwd_block_b={bwd_block}")
+        checkpoint_summary()
+
+    # ---- stage 2: depth probe -------------------------------------------
+    depth = 9
+    if not args.skip_probes and time.time() < deadline:
+        if not tpu_up():
+            wait_for_tpu(args.poll_secs, deadline)
+        probe_out = os.path.join(REPO, "results", "spain2020_nuts_rdepthprobe")
+        rc, out = run_logged(
+            [PY, os.path.join(REPO, "scripts", "nuts_campaign.py"),
+             "--chains", "256", "--iterations", "30", "--warmup", "10",
+             "--depth", "10", "--segments", "6",
+             "--mass", "empirical-dense", "--trace", args.trace,
+             "--warm", args.trace, "--out", probe_out,
+             "--bwd-block", str(bwd_block)], timeout=3600, tag="depth")
+        mean_depth = None
+        try:
+            with open(os.path.join(probe_out, "campaign_metadata.json")) as f:
+                mean_depth = json.load(f).get("mean_tree_depth")
+        except Exception:
+            pass
+        if mean_depth is None:
+            m = re.search(r"mean tree depth ([\d.]+)/", out)
+            mean_depth = float(m.group(1)) if m else None
+        if mean_depth is not None:
+            # trees that U-turn below the cap don't need the cap; +0.6
+            # headroom then round up, clamped to [8, 10]
+            depth = max(8, min(10, int(mean_depth + 0.6) + 1))
+        summary["stages"]["depth_probe"] = {
+            "rc": rc, "mean_tree_depth": mean_depth, "depth": depth}
+        log(f"depth probe -> mean {mean_depth} -> production depth {depth}")
+        checkpoint_summary()
+
+    # ---- stage 3: production campaign (resume on drop, extend on gate) ---
+    iterations = args.iterations
+    attempt = 0
+    resume = False
+    gate_ok = False
+    while time.time() < deadline and iterations <= args.max_iterations:
+        if not tpu_up():
+            if not wait_for_tpu(args.poll_secs, deadline):
+                break
+        attempt += 1
+        cmd = [PY, os.path.join(REPO, "scripts", "nuts_campaign.py"),
+               "--chains", str(args.chains),
+               "--iterations", str(iterations),
+               "--warmup", str(args.warmup),
+               "--depth", str(depth),
+               "--segments", str(args.segments),
+               "--mass", "empirical-dense",
+               "--trace", args.trace, "--warm", args.trace,
+               "--report", "--require-rhat", "1.05",
+               "--out", args.out, "--bwd-block", str(bwd_block)]
+        if resume:
+            cmd.append("--resume")
+        rc, out = run_logged(cmd, timeout=7 * 3600, tag=f"prod{attempt}")
+        diag = {}
+        try:
+            with open(os.path.join(args.out, "campaign_metadata.json")) as f:
+                diag = json.load(f).get("diagnostics", {})
+        except Exception:
+            pass
+        summary["stages"][f"production_attempt_{attempt}"] = {
+            "rc": rc, "iterations": iterations, "resume": resume,
+            "max_rhat": diag.get("max_rhat"),
+            "max_rank_rhat": diag.get("max_rank_rhat"),
+            "min_ess": diag.get("min_ess")}
+        checkpoint_summary()
+        if rc == 0:
+            gate_ok = True
+            break
+        if rc == 2:
+            # completed but not converged: extend the same run
+            resume = os.path.exists(os.path.join(args.out, "nuts_state.npz"))
+            iterations += args.extend_by
+            log(f"gate failed (max_rhat={diag.get('max_rhat')}); extending "
+                f"to {iterations} iterations")
+            continue
+        # crash / timeout / tunnel drop: resume if a checkpoint exists
+        resume = os.path.exists(os.path.join(args.out, "nuts_state.npz"))
+        log(f"campaign attempt {attempt} died rc={rc}; "
+            f"{'resuming' if resume else 'restarting'} when TPU is back")
+        time.sleep(30)
+
+    # ---- stage 4: promotion ----------------------------------------------
+    if gate_ok:
+        rc, out = run_logged(
+            [PY, os.path.join(REPO, "scripts", "refresh_artifact.py"),
+             args.out, "--report"], timeout=3600, tag="promote")
+        summary["stages"]["promotion"] = {"rc": rc}
+        summary["status"] = "converged_and_promoted" if rc == 0 \
+            else "converged_promotion_failed"
+    else:
+        summary["status"] = "not_converged"
+    checkpoint_summary()
+    log(f"autopilot finished: {summary['status']}")
+    return 0 if gate_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
