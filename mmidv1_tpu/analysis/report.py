@@ -35,14 +35,15 @@ from .reproduction import rt_trajectory
 
 def _replay_fn(space: ParameterSpace, base_params: SEPAIHRDParams,
                base_y0: jnp.ndarray, ts: jnp.ndarray, substeps: int,
-               use_scalar_beta: bool):
+               use_scalar_beta: bool, tableau: str = "dopri5"):
     """theta -> (metrics dict, rt(t), sero(t), trajectory)."""
 
     def replay(theta):
         theta = space.constrain(theta, REFLECT)
         params = space.apply(base_params, theta)
         y0, _inf = sepaihrd.initial_state_for_params(params, base_y0)
-        traj = sepaihrd.solve(params, y0, ts, method="fixed", substeps=substeps)
+        traj = sepaihrd.solve(params, y0, ts, method="fixed",
+                              substeps=substeps, tableau=tableau)
         m = essential_metrics(params, traj, ts, y0,
                               use_scalar_beta=use_scalar_beta)
         rt = rt_trajectory(params, traj, ts)
@@ -65,6 +66,7 @@ def generate_full_report(
     thinning: int = 1,
     batch_size: int = 256,
     substeps: int = 4,
+    tableau: str = "dopri5",
     seed: int = 12345,
     use_scalar_beta: bool = False,
     scenario_kappa_delta: float = 0.1,
@@ -112,8 +114,8 @@ def generate_full_report(
     idx = aggregate.select_ppc_draws(len(sel), num_samples_for_ppc, seed)
     incidence = build_incidence_fn(space, base_params, data, ts,
                                    base_initial_state=base_initial_state,
-                                   substeps=substeps, constraint_mode=REFLECT,
-                                   dtype=dtype)
+                                   substeps=substeps, tableau=tableau,
+                                   constraint_mode=REFLECT, dtype=dtype)
     inc_batch = jax.jit(jax.vmap(lambda th: incidence(th)[1]))
     daily = []
     for start in range(0, len(idx), batch_size):
@@ -128,7 +130,7 @@ def generate_full_report(
     # 2) Batched metric replay over ALL selected draws
     # ------------------------------------------------------------------
     replay = _replay_fn(space, base_params, base_y0, ts_j, substeps,
-                        use_scalar_beta)
+                        use_scalar_beta, tableau)
     replay_batch = jax.jit(jax.vmap(replay))
 
     all_batch_stats = []
@@ -185,7 +187,7 @@ def generate_full_report(
         def scenario_metrics(params):
             y0, _ = sepaihrd.initial_state_for_params(params, base_y0)
             traj = sepaihrd.solve(params, y0, ts_j, method="fixed",
-                                  substeps=substeps)
+                                  substeps=substeps, tableau=tableau)
             return essential_metrics(params, traj, ts_j, y0,
                                      use_scalar_beta=use_scalar_beta)
 

@@ -245,6 +245,11 @@ def main(argv=None) -> int:
     if args.stages > 1 and args.mass not in ("laplace-dense",
                                              "empirical-dense"):
         p.error("--stages > 1 requires a dense mass mode")
+    if args.stages > 1 and (args.stage_iterations or
+                            2 * args.warmup) <= args.warmup:
+        p.error("--stage-iterations must exceed --warmup: each pre-final "
+                "stage re-estimates the mass from its POST-warmup draws, "
+                "and a stage shorter than the warmup has none")
     if args.resume and args.stages > 1:
         p.error("--resume continues a single-stage run; rerun the final "
                 "stage alone (its mass is already on disk via --trace)")
@@ -274,39 +279,80 @@ def main(argv=None) -> int:
             with np.load(f) as z:
                 prev_xs.append(z["samples"])
                 prev_lps.append(z["logps"])
-        print(f"resuming from iteration {int(initial_state.it)} "
-              f"({len(seg_files)} partial files)")
+        # reconcile the partial trace against the checkpoint: the partial
+        # file is written BEFORE the state (state = commit point), so a
+        # crash in between leaves extra UNCHECKPOINTED draws that the
+        # resumed run will re-draw bit-exactly — drop them, both in memory
+        # and on disk (a stale on-disk tail would corrupt the NEXT resume)
+        it_ck = int(initial_state.it)
+        total = sum(x.shape[0] for x in prev_xs)
+        if total > it_ck:
+            print(f"dropping {total - it_ck} uncheckpointed draws "
+                  f"(crash between partial write and state save)")
+            drop = total - it_ck
+            while drop > 0 and prev_xs:
+                take = min(drop, prev_xs[-1].shape[0])
+                keep = prev_xs[-1].shape[0] - take
+                src = seg_files[len(prev_xs) - 1]
+                if keep == 0:
+                    prev_xs.pop()
+                    prev_lps.pop()
+                    os.remove(src)
+                else:
+                    prev_xs[-1] = prev_xs[-1][:keep]
+                    prev_lps[-1] = prev_lps[-1][:keep]
+                    np.savez(src + ".rewrite", samples=prev_xs[-1],
+                             logps=prev_lps[-1])
+                    os.replace(src + ".rewrite.npz", src)
+                drop -= take
+        elif total < it_ck:
+            p.error(f"--resume: partial files hold {total} iterations but "
+                    f"the checkpoint is at {it_ck}; the trace has a hole "
+                    f"and cannot be reconstructed — restart without --resume")
+        print(f"resuming from iteration {it_ck} "
+              f"({len(prev_xs)} partial files)")
     else:
         # a fresh run must not inherit another campaign's partial files —
         # they would be concatenated into the posterior on a later --resume
         for f in glob_mod.glob(seg_glob):
             os.remove(f)
+        for f in glob_mod.glob(os.path.join(args.out, ".tmp_partial_*.npz")):
+            os.remove(f)
         if os.path.exists(partial_path):
             os.remove(partial_path)
 
     seg_counter = {"n": len(prev_xs)}
+    # live-monitor accumulator: a <=128-chain subset of every segment, kept
+    # incrementally (concatenating the FULL trace each segment would copy
+    # O(segments x total) bytes — ~50 GB over a production campaign)
+    mon_xs = [x[:, :: max(1, x.shape[1] // 128), :] for x in prev_xs]
 
     def on_segment(state, xs, lps):
-        prev_xs.append(np.asarray(xs))
-        prev_lps.append(np.asarray(lps))
-        save_nuts_state(state_path, state)
-        # one file per segment: O(segment bytes) I/O, not O(total) — at
-        # 1024 chains x 4000 iterations a cumulative rewrite would push
-        # ~40 GB through the filesystem over the campaign
+        xs, lps = np.asarray(xs), np.asarray(lps)
+        prev_xs.append(xs)
+        prev_lps.append(lps)
+        # partial file FIRST, sampler state LAST: the state checkpoint is
+        # the commit point. A crash between the two writes leaves one EXTRA
+        # partial, which --resume truncates back to state.it and re-runs
+        # bit-exactly; the reverse order would leave a hole in the trace
+        # that --resume could not detect. The tmp name is dot-prefixed so a
+        # truncated leftover can never match the resume glob.
         f = os.path.join(args.out,
                          f"partial_samples_{seg_counter['n']:04d}.npz")
-        np.savez(f + ".tmp.npz", samples=np.asarray(xs),
-                 logps=np.asarray(lps))
-        os.replace(f + ".tmp.npz", f)
+        tmp = os.path.join(args.out,
+                           f".tmp_partial_{seg_counter['n']:04d}.npz")
+        np.savez(tmp, samples=xs, logps=lps)
+        os.replace(tmp, f)
+        save_nuts_state(state_path, state)
         seg_counter["n"] += 1
         # live convergence read on the accumulated post-warmup draws (chain
         # subset; host-side NumPy) so a long TPU campaign can be steered —
         # extended, restaged, or stopped early — without waiting for the end
-        acc = np.concatenate(prev_xs, axis=0)
+        mon_xs.append(xs[:, :: max(1, xs.shape[1] // 128), :])
+        acc = np.concatenate(mon_xs, axis=0)
         if acc.shape[0] > args.warmup + 20:
             from mmidv1_tpu.analysis.diagnostics import split_rhat
-            sub = acc[args.warmup:, :: max(1, acc.shape[1] // 128), :]
-            r = split_rhat(sub)
+            r = split_rhat(acc[args.warmup:])
             worst = np.argsort(-r)[:3]
             stat = ", ".join(f"{space.names[j]} {r[j]:.2f}" for j in worst)
             print(f"  [seg @ iter {int(state.it)}] worst split-R-hat: {stat}",
@@ -408,7 +454,7 @@ def main(argv=None) -> int:
         out = generate_full_report(samples, space, params, data, ts,
                                    args.out, num_samples_for_ppc=200,
                                    batch_size=1024, substeps=args.substeps,
-                                   seed=args.seed)
+                                   tableau=args.tableau, seed=args.seed)
         print(f"report over {out['n_draws']} draws -> {args.out}")
 
     # float64 MAP re-selection over per-chain bests (f32 noise floor ~1e2 at
@@ -455,7 +501,10 @@ def main(argv=None) -> int:
         if max(max_rhat, max_rank_rhat) >= args.require_rhat:
             print(f"CONVERGENCE GATE FAILED: max(split {max_rhat:.3f}, "
                   f"rank {max_rank_rhat:.3f}) >= {args.require_rhat}")
-            return 2
+            # 3, not 2: argparse's p.error exits with 2, and an unattended
+            # driver must distinguish "ran but not converged" (extend with
+            # --resume) from "bad invocation" (do not retry)
+            return 3
         print(f"convergence gate passed (< {args.require_rhat})")
     return 0
 

@@ -60,6 +60,15 @@ def main(argv=None) -> int:
           f"(rank {diag.get('max_rank_rhat', float('nan')):.3f}), "
           f"min ESS {diag.get('min_ess', float('nan')):.0f}")
 
+    # validate every input BEFORE mutating the artifact, so a failure can
+    # never leave posterior_samples.npz out of sync with the metadata/MAP
+    meta_path = os.path.join(args.artifact, "run_metadata.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    camp_map = os.path.join(args.campaign, "calibrated_parameters.txt")
+    if not os.path.exists(camp_map):
+        raise FileNotFoundError(camp_map)
+
     rng = np.random.default_rng(args.seed)
     idx = (rng.choice(T * B, size=args.draws, replace=False)
            if T * B > args.draws else np.arange(T * B))
@@ -70,14 +79,11 @@ def main(argv=None) -> int:
     print(f"posterior_samples.npz: {len(idx)} of {T * B} draws")
 
     # adopt the campaign MAP only if it beats the committed one (float64)
-    meta_path = os.path.join(args.artifact, "run_metadata.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
     old_ll = float(meta.get("best_logl_float64", -np.inf))
     new_ll = float(cmeta.get("best_logl_float64", -np.inf))
     if new_ll > old_ll:
         import shutil
-        shutil.copy2(os.path.join(args.campaign, "calibrated_parameters.txt"),
+        shutil.copy2(camp_map,
                      os.path.join(args.artifact, "calibrated_parameters.txt"))
         meta["best_logl"] = meta["best_logl_float64"] = new_ll
         print(f"MAP adopted: {new_ll:.8e} (beats committed {old_ll:.8e})")
@@ -110,10 +116,13 @@ def main(argv=None) -> int:
         from mmidv1_tpu.cli.common import load_spain_pipeline
         pipe = load_spain_pipeline()
         analysis_dir = os.path.join(args.artifact, "analysis")
+        # replay with the SAME integrator settings that produced the
+        # posterior (recorded in campaign_metadata.json)
         out = generate_full_report(
             flat[idx], pipe.space, pipe.params, pipe.data,
             pipe.ts, analysis_dir, num_samples_for_ppc=200,
-            batch_size=1024, substeps=4, seed=args.seed)
+            batch_size=1024, substeps=int(cmeta.get("substeps", 4)),
+            tableau=str(cmeta.get("tableau", "dopri5")), seed=args.seed)
         print(f"report over {out['n_draws']} draws -> {analysis_dir}")
     return 0
 

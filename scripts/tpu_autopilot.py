@@ -62,24 +62,57 @@ def wait_for_tpu(poll_secs, deadline):
     return False
 
 
-def run_logged(cmd, timeout, tag):
-    """Run cmd streaming output to stdout; return (rc, full_output)."""
+def run_logged(cmd, timeout, tag, silence_timeout=1800):
+    """Run cmd streaming output to stdout; return (rc, full_output).
+
+    A reader THREAD drains stdout so the wall-clock watchdog fires even when
+    the child is silently hung (a dead tunneled-TPU RPC blocks without
+    printing — a blocking readline in the main loop would never see the
+    timeout). The child is killed after `timeout` seconds total or
+    `silence_timeout` seconds without a line of output.
+    """
+    import queue
+    import threading
+
     log(f"{tag}: {' '.join(cmd)}")
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, cwd=REPO)
-    lines = []
-    start = time.time()
-    try:
+    q = queue.Queue()
+
+    def reader():
         for line in proc.stdout:
-            lines.append(line)
-            print(f"  |{tag}| {line}", end="", flush=True)
-            if time.time() - start > timeout:
-                raise subprocess.TimeoutExpired(cmd, timeout)
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=reader, daemon=True).start()
+    lines = []
+    start = last_line = time.time()
+    killed = None
+    while True:
+        try:
+            item = q.get(timeout=10)
+        except queue.Empty:
+            item = ""
+        if item is None:
+            break
+        if item:
+            lines.append(item)
+            last_line = time.time()
+            print(f"  |{tag}| {item}", end="", flush=True)
+        now = time.time()
+        if now - start > timeout:
+            killed = f"TIMEOUT after {timeout}s"
+        elif now - last_line > silence_timeout:
+            killed = f"SILENT for {silence_timeout}s"
+        if killed:
+            log(f"{tag}: {killed} — killing pid {proc.pid}")
+            proc.kill()
+            break
+    try:
         rc = proc.wait(timeout=120)
     except subprocess.TimeoutExpired:
-        log(f"{tag}: TIMEOUT after {timeout}s — killing pid {proc.pid}")
-        proc.kill()
-        proc.wait()
+        rc = -9
+    if killed:
         rc = -9
     return rc, "".join(lines)
 
@@ -182,8 +215,11 @@ def main(argv=None):
                "--segments", str(args.segments),
                "--mass", "empirical-dense",
                "--trace", args.trace, "--warm", args.trace,
-               "--report", "--require-rhat", "1.05",
+               "--require-rhat", "1.05",
                "--out", args.out, "--bwd-block", str(bwd_block)]
+        # no --report here: failed-gate attempts would each pay the full
+        # analysis-tree cost, and the converged run's report is produced
+        # once by refresh_artifact --report at promotion
         if resume:
             cmd.append("--resume")
         rc, out = run_logged(cmd, timeout=7 * 3600, tag=f"prod{attempt}")
@@ -202,13 +238,18 @@ def main(argv=None):
         if rc == 0:
             gate_ok = True
             break
-        if rc == 2:
+        if rc == 3:
             # completed but not converged: extend the same run
             resume = os.path.exists(os.path.join(args.out, "nuts_state.npz"))
             iterations += args.extend_by
             log(f"gate failed (max_rhat={diag.get('max_rhat')}); extending "
                 f"to {iterations} iterations")
             continue
+        if rc == 2:
+            # argparse p.error: a bad invocation will fail identically on
+            # every retry — stop instead of looping until the deadline
+            log(f"campaign rejected the invocation (rc=2); aborting")
+            break
         # crash / timeout / tunnel drop: resume if a checkpoint exists
         resume = os.path.exists(os.path.join(args.out, "nuts_state.npz"))
         log(f"campaign attempt {attempt} died rc={rc}; "
@@ -227,7 +268,7 @@ def main(argv=None):
         summary["status"] = "not_converged"
     checkpoint_summary()
     log(f"autopilot finished: {summary['status']}")
-    return 0 if gate_ok else 1
+    return 0 if summary["status"] == "converged_and_promoted" else 1
 
 
 if __name__ == "__main__":

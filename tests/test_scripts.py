@@ -361,3 +361,56 @@ def test_refresh_artifact(tmp_path):
     assert (art / "calibrated_parameters.txt").read_text() == "stub\n"
     assert meta["campaign_diagnostics"]["max_rhat"] == 1.01
     assert "nuts_test" in meta["posterior_source"]
+
+@pytest.mark.slow
+def test_nuts_campaign_resume_reconciles_uncheckpointed_partial(tmp_path):
+    """Crash-window recovery: the campaign writes each segment's partial
+    file BEFORE the state checkpoint (state = commit point), so a crash in
+    between leaves one uncheckpointed partial. --resume must drop it (in
+    memory AND on disk), re-run that segment bit-exactly, and an extended
+    resume (--iterations grown) must reproduce the uninterrupted run; a
+    partial trace with a HOLE must be refused."""
+    import json
+    import shutil
+
+    import numpy as np
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import nuts_campaign
+
+    common = ["--chains", "2", "--warmup", "2", "--depth", "2",
+              "--substeps", "2", "--engine", "xla", "--seed", "3"]
+
+    ref = tmp_path / "ref"          # uninterrupted 8-iteration run
+    rc = nuts_campaign.main(common + ["--iterations", "8", "--segments", "4",
+                                      "--out", str(ref)])
+    assert rc == 0
+    ref_samples = np.load(ref / "samples.npz")["samples"]
+
+    # a 4-iteration run = the same campaign killed halfway (identical key
+    # table: split(k, n) prefixes agree across n)
+    crash = tmp_path / "crash"
+    rc = nuts_campaign.main(common + ["--iterations", "4", "--segments", "2",
+                                      "--out", str(crash)])
+    assert rc == 0
+    # simulate the crash window: segment 3's partial landed, state did not
+    shutil.copy(crash / "partial_samples_0001.npz",
+                crash / "partial_samples_0002.npz")
+
+    rc = nuts_campaign.main(common + ["--iterations", "8", "--segments", "4",
+                                      "--resume", "--require-rhat", "1.0",
+                                      "--out", str(crash)])
+    assert rc == 3                     # gate at 1.0 can never pass -> 3,
+    #                                    distinct from argparse's exit 2
+    res_samples = np.load(crash / "samples.npz")["samples"]
+    np.testing.assert_array_equal(res_samples, ref_samples)
+    meta = json.loads((crash / "campaign_metadata.json").read_text())
+    assert meta["iterations"] == 8
+
+    # a hole (missing middle partial) is unrecoverable -> refuse
+    os.remove(crash / "partial_samples_0001.npz")
+    with pytest.raises(SystemExit):
+        nuts_campaign.main(common + ["--iterations", "10", "--segments", "5",
+                                     "--resume", "--out", str(crash)])
