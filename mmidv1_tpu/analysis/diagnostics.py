@@ -42,8 +42,13 @@ def split_rhat(samples: np.ndarray) -> np.ndarray:
 
 
 def effective_sample_size(samples: np.ndarray, max_lag: int = 200) -> np.ndarray:
-    """ESS per parameter via autocorrelation with Geyer's initial monotone
-    sequence (summing paired autocorrelations while positive & decreasing).
+    """ESS per parameter — the Stan/ArviZ multi-chain estimator (Vehtari et
+    al. 2021 §3.2): rho_t = 1 - (W - s_t) / var_plus with Geyer's initial
+    positive + monotone sequence over paired sums. The var_plus coupling
+    (between-chain-inflated variance, same quantity as split-R-hat's
+    numerator) is what makes chains FROZEN AT DIFFERENT POINTS report a
+    small ESS — per-chain-centered autocorrelation alone reads that
+    pathology as white noise and returns ~n*m.
 
     ``samples``: (n_draws, n_chains, d). Returns (d,).
     """
@@ -51,31 +56,33 @@ def effective_sample_size(samples: np.ndarray, max_lag: int = 200) -> np.ndarray
     n, m, d = x.shape
     max_lag = min(max_lag, n - 1)
     xc = x - x.mean(axis=0, keepdims=True)
-    var = xc.var(axis=0).mean(axis=0)              # (d,) mean within-chain var
+    W = x.var(axis=0, ddof=1).mean(axis=0)              # (d,)
+    b_over_n = (x.mean(axis=0).var(axis=0, ddof=1)      # (d,) = B/n
+                if m > 1 else np.zeros(d))
+    var_plus = (n - 1) / n * W + b_over_n
     ess = np.empty(d)
+    ess_cap = n * m * np.log10(max(n * m, 10.0))        # Stan's antithetic cap
     for j in range(d):
-        if var[j] <= 0:
+        if var_plus[j] <= 0:
             ess[j] = n * m
             continue
-        # mean autocorrelation across chains
-        rho = np.empty(max_lag + 1)
-        rho[0] = 1.0
+        # mean within-chain autocovariance, biased (/n) as in Stan
+        s = np.empty(max_lag + 1)
+        s[0] = (n - 1) / n * W[j]
         for lag in range(1, max_lag + 1):
-            c = np.mean(xc[:-lag, :, j] * xc[lag:, :, j])
-            rho[lag] = c / var[j]
-        # Geyer pairs
-        tau = 1.0
+            s[lag] = np.mean(xc[:-lag, :, j] * xc[lag:, :, j]) * (n - lag) / n
+        rho = 1.0 - (W[j] - s) / var_plus[j]
+        # Geyer pairs: sum (rho_{2t} + rho_{2t+1}) while positive, monotone
+        tau = -1.0
         prev_pair = np.inf
-        lag = 1
-        while lag + 1 <= max_lag:
-            pair = rho[lag] + rho[lag + 1]
+        for t in range(0, max_lag, 2):
+            pair = rho[t] + rho[t + 1]
             if pair <= 0:
                 break
-            pair = min(pair, prev_pair)            # enforce monotone
+            pair = min(pair, prev_pair)
             tau += 2.0 * pair
             prev_pair = pair
-            lag += 2
-        ess[j] = n * m / tau
+        ess[j] = min(n * m / max(tau, 1e-12), ess_cap)
     return ess
 
 

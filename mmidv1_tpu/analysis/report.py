@@ -88,8 +88,15 @@ def generate_full_report(
 
     samples = np.asarray(samples)
     if samples.ndim == 3:
-        samples = samples.reshape(-1, samples.shape[-1])
-    sel = samples[burn_in::max(1, thinning)]
+        # burn-in/thinning are ITERATION counts: apply them on the stored-
+        # iteration axis BEFORE flattening the (n_stored, B, d) ensemble —
+        # applied after, burn_in would count individual chain-draws and a
+        # thinning stride sharing a factor with B would systematically
+        # select a fixed chain subset
+        samples = samples[burn_in::max(1, thinning)]
+        sel = samples.reshape(-1, samples.shape[-1])
+    else:
+        sel = samples[burn_in::max(1, thinning)]
     if sel.size == 0:
         raise ValueError("no posterior samples left after burn-in/thinning")
 
@@ -191,6 +198,9 @@ def generate_full_report(
             return essential_metrics(params, traj, ts_j, y0,
                                      use_scalar_beta=use_scalar_beta)
 
+        # one jitted wrapper outside the loop: all three scenarios share
+        # shapes, so they share ONE compile of the solve+metrics program
+        scenario_fn = jax.jit(scenario_metrics)
         scenarios = [("baseline", mean_params)]
         for name, f in (("stricter_lockdown", 1.0 - scenario_kappa_delta),
                         ("weaker_lockdown", 1.0 + scenario_kappa_delta)):
@@ -199,7 +209,7 @@ def generate_full_report(
         for name, prm in scenarios:
             cols = aggregate.metric_table(
                 {k: np.asarray(v) for k, v in
-                 jax.jit(scenario_metrics)(prm).items()}, n_ages)
+                 scenario_fn(prm).items()}, n_ages)
             scenario_rows.append((name, {k: float(np.asarray(v)) for k, v in
                                          cols.items()}))
         emit(writers.write_scenario_comparison,

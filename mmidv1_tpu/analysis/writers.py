@@ -65,8 +65,13 @@ def write_parameter_posteriors(out_dir: str, samples: np.ndarray,
     _ensure_dir(out_dir)
     samples = np.asarray(samples)
     if samples.ndim == 3:                     # (n_stored, B, d) ensemble
-        samples = samples.reshape(-1, samples.shape[-1])
-    sel = samples[burn_in::max(1, thinning)]
+        # iteration-axis burn-in/thinning BEFORE flattening (afterwards the
+        # stride would select a fixed chain subset whenever it shares a
+        # factor with B)
+        samples = samples[burn_in::max(1, thinning)]
+        sel = samples.reshape(-1, samples.shape[-1])
+    else:
+        sel = samples[burn_in::max(1, thinning)]
 
     with open(os.path.join(out_dir, "posterior_samples.csv"), "w") as f:
         f.write("sample_index," + ",".join(names) + "\n")

@@ -508,7 +508,13 @@ def run_mh_checkpointed(
         from ..utils.checkpoint import load_mh_state
 
         state = load_mh_state(checkpoint_path)
-        start_segment = int(np.asarray(state.step)) // per_segment
+        # each segment actually runs ceil(per_segment/thinning)*thinning
+        # steps (run_mh rounds UP to whole thinning blocks) — dividing by
+        # per_segment would drift the resume index whenever thinning does
+        # not divide per_segment, silently skipping segments
+        thin = max(1, cfg.thinning)
+        steps_per_segment = -(-per_segment // thin) * thin
+        start_segment = int(np.asarray(state.step)) // steps_per_segment
         get_logger("mh").info(
             f"resuming campaign from {checkpoint_path} at step "
             f"{int(np.asarray(state.step))} (segment {start_segment})")

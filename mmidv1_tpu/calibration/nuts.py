@@ -363,6 +363,10 @@ def run_nuts(
             # warm ensemble start: one row per chain, used verbatim (mass
             # re-adaptation rounds continue chains from their current
             # positions)
+            if theta0.shape[0] != n_chains:
+                raise ValueError(
+                    f"2-D theta0 warm start must have n_chains rows: got "
+                    f"{theta0.shape[0]} rows for n_chains={n_chains}")
             x0 = space.clamp(theta0)
         else:
             noise = jax.random.normal(k_init, (n_chains, d), dtype=dtype)

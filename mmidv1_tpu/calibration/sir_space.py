@@ -78,41 +78,17 @@ class SIRParameterSpace(ParameterSpace):
                     np.array([t for _, t in pairs], dtype=np.int32))
             for field, pairs in scatter.items()
         }
-        lo = jnp.asarray([bounds[n][0] for n in names])
-        hi = jnp.asarray([bounds[n][1] for n in names])
-        lo, hi = jnp.minimum(lo, hi), jnp.maximum(lo, hi)
-        sg = jnp.asarray([sigmas[n] for n in names])
+        # Host (NumPy) constants, like ParameterSpace.create: closure-captured
+        # bounds lower to MLIR literals without a device fetch at trace time
+        import jax.dtypes
+        dt = jax.dtypes.canonicalize_dtype(np.float64)
+        lo = np.asarray([bounds[n][0] for n in names], dtype=dt)
+        hi = np.asarray([bounds[n][1] for n in names], dtype=dt)
+        lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+        sg = np.asarray([sigmas[n] for n in names], dtype=dt)
         return cls(names=tuple(names), lower=lo, upper=hi, sigmas=sg,
                    _scatter=packed)
 
-    def apply(self, base: AgeSIRParams, theta: jnp.ndarray) -> AgeSIRParams:
-        updates = {}
-        for field, (fidx, tidx) in self._scatter.items():
-            cur = getattr(base, field)
-            if fidx[0] == -1:
-                updates[field] = theta[tidx[0]].astype(cur.dtype)
-            else:
-                # one-hot contraction, not .at[].set — see ParameterSpace.apply
-                n = cur.shape[-1]
-                sel = np.zeros((n, self.dim), dtype=bool)
-                sel[fidx, tidx] = True
-                mask = np.zeros((n,), dtype=bool)
-                mask[fidx] = True
-                # select+sum, NOT a matmul: TPU f32 matmuls multiply in
-                # bfloat16 by default, which would round the applied
-                # parameter values to ~3 digits (see OPS_ANALYSIS.md)
-                gathered = jnp.sum(jnp.where(jnp.asarray(sel),
-                                             theta.astype(cur.dtype), 0),
-                                   axis=-1)
-                updates[field] = jnp.where(jnp.asarray(mask), gathered, cur)
-        return base.replace(**updates)
-
-    def extract(self, params: AgeSIRParams) -> jnp.ndarray:
-        theta = jnp.zeros((self.dim,), dtype=params.N.dtype)
-        for field, (fidx, tidx) in self._scatter.items():
-            cur = getattr(params, field)
-            if fidx[0] == -1:
-                theta = theta.at[tidx[0]].set(cur)
-            else:
-                theta = theta.at[tidx].set(cur[..., fidx])
-        return theta
+    # apply/extract are inherited: the parent's one-hot contraction works on
+    # any params pytree with .replace/.dtype, and the _scatter built above
+    # uses the same (field -> (indices, theta positions)) layout

@@ -102,7 +102,7 @@ def main(argv=None) -> int:
         if args.profile:
             with jax.profiler.trace(args.profile):
                 obj(thetas).block_until_ready()
-            log(f"profiler trace written to {args.profile}")
+            log.info(f"profiler trace written to {args.profile}")
         dt = _timed(lambda: obj(thetas).block_until_ready(), args.repeats)
         results["micro_evals_per_sec"] = args.batch / dt
         results["micro_us_per_eval"] = dt / args.batch * 1e6

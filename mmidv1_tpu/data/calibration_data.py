@@ -112,10 +112,26 @@ class CalibrationData:
         from ..utils import native
 
         all_cols = sorted({c for cols in groups.values() for c in cols})
-        table = native.read_csv_table(path, all_cols, skip_header=1)
+        try:
+            table = native.read_csv_table(path, all_cols, skip_header=1)
+        except Exception:
+            # the native bulk parse reads EVERY row of the file; an error
+            # raised for an out-of-range row (e.g. incomplete trailing
+            # reporting after end_date) must not fail the load — the Python
+            # path below parses only the selected rows
+            table = None
         if table is not None and table.shape[0] == len(rows):
             mask = np.array([in_range(r[date_idx]) for r in rows])
             table = table[mask]
+            if np.isnan(table).any():
+                # the native parser is LENIENT (unparseable/empty cell ->
+                # NaN); the loader's contract is strict for rows actually
+                # used (reference semantics) — defer to the Python parse so
+                # a malformed selected cell raises DataFormatException
+                table = None
+        else:
+            table = None
+        if table is not None:
             colpos = {c: k for k, c in enumerate(all_cols)}
 
             def mat(key: str) -> np.ndarray:

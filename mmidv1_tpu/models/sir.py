@@ -226,6 +226,10 @@ class AgeSIRParams:
     def n_ages(self) -> int:
         return int(self.N.shape[-1])
 
+    @property
+    def dtype(self):
+        return self.N.dtype
+
     def contact_matrix(self):
         return self.C_baseline * self.scale_C
 

@@ -53,7 +53,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import constants as C
 from .sepaihrd_pallas import (_EPS, _PARAM_ORDER, N_PARAM_ROWS, _rhs80,
                               make_interval_fn)
 
@@ -454,82 +453,28 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
     ``.value_batch`` attribute.
     """
     from ..calibration.objective import lowest
-    from ..models import sepaihrd
-    from .sepaihrd_pallas import period_runs_for_grid
+    from .sepaihrd_pallas import shared_prep
 
-    if dtype is None:
-        dtype = base_params.dtype
-    ts = np.asarray(ts, dtype=np.float64)
-    runup_offset = int(np.searchsorted(ts, 0.0, side="left"))
-    num_obs = len(ts) - runup_offset
-    if num_obs != data.n_data_points:
-        raise ValueError(f"time grid has {num_obs} observation points but "
-                         f"data has {data.n_data_points}")
+    # grid validation, day tables, M2, initial state, and the sublane
+    # packing are the SAME code the plain kernel uses (sepaihrd_pallas.
+    # shared_prep) — the custom-VJP forward must pack bit-identically
+    pp = shared_prep(space, base_params, data, ts,
+                     base_initial_state=base_initial_state,
+                     constraint_mode=constraint_mode, dtype=dtype)
+    dtype = pp.dtype
+    ts = pp.ts
+    runup_offset, num_obs = pp.runup_offset, pp.num_obs
+    period_runs, n_runs = pp.period_runs, pp.n_runs
+    ov_t, ov_b = pp.ov_tables
+    M2 = pp.M2
     n_intervals = len(ts) - 1
     n_chunks = _pad_intervals(n_intervals)
     T_pad = n_chunks * L_CHUNK
-
-    if base_initial_state is None:
-        base_initial_state = data.initial_sepaihrd_state(
-            sigma=base_params.sigma, gamma_p=base_params.gamma_p,
-            gamma_A=base_params.gamma_A, gamma_I=base_params.gamma_I,
-            p=base_params.p, h=base_params.h)
-    # Host constants: closure-captured by the jitted wrapper; NumPy
-    # lowers to an MLIR literal without a device fetch (utils.hostdev).
-    base_y0 = np.asarray(base_initial_state, dtype=dtype)
-    period_runs = period_runs_for_grid(ts,
-                                       np.asarray(base_params.beta_end_times),
-                                       np.asarray(base_params.kappa_end_times))
     # static day -> run map (padded days reuse the last run; values unused)
     day_run = np.zeros((T_pad,), dtype=np.int32)
     for r, (_pb, _pk, start, count) in enumerate(period_runs):
         day_run[start:start + count] = r
     day_run[n_intervals:] = day_run[n_intervals - 1]
-
-    def stream_cols(x):
-        x = np.asarray(x, dtype=np.float64)
-        valid = (np.isfinite(x) & (x >= 0)).astype(np.float64)
-        return np.where(valid > 0, x, 0.0) * valid, valid
-
-    g6 = [stream_cols(x)[0] for x in (data.new_deaths,
-                                      data.new_hospitalizations, data.new_icu)]
-    g6 += [stream_cols(x)[1] for x in (data.new_deaths,
-                                       data.new_hospitalizations, data.new_icu)]
-    z4 = np.zeros_like(g6[0])
-    ov_t = np.concatenate(
-        [np.concatenate([g, z4], axis=1) for g in g6], axis=1).astype(dtype)
-    ov_b = np.concatenate(
-        [np.concatenate([z4, g], axis=1) for g in g6], axis=1).astype(dtype)
-    Mnp = np.asarray(base_params.M_baseline, np.float64)
-    M2 = np.block([[Mnp, np.zeros_like(Mnp)],
-                   [np.zeros_like(Mnp), Mnp]]).astype(dtype)
-    invN = np.where(np.asarray(base_params.N) > C.MIN_POPULATION_FOR_DIVISION,
-                    1.0 / np.asarray(base_params.N), 0.0)
-    invN = np.asarray(invN, dtype=dtype)
-
-    def prep_one(theta):
-        theta = space.constrain(theta.astype(dtype), constraint_mode)
-        params = space.apply(base_params, theta)
-        y0, infeasible = sepaihrd.initial_state_for_params(params, base_y0)
-        y0 = y0.reshape(-1)                                  # (44,)
-        agevec = jnp.concatenate([
-            params.a, params.h_infec * invN, params.p, params.h, params.icu,
-            params.d_H, params.d_ICU, params.d_community])   # (32,)
-        scal = jnp.stack([params.theta, params.sigma, params.gamma_p,
-                          params.gamma_A, params.gamma_I, params.gamma_H,
-                          params.gamma_ICU])                 # (7,)
-        bsrc = (params.beta_values if params.beta_values.shape[-1]
-                else params.beta[None])
-        bsrc = bsrc * params.contact_matrix_scaling_factor
-        ksrc = (params.kappa_values if params.kappa_values.shape[-1]
-                else jnp.ones((1,), dtype=dtype))
-        beff = jnp.stack([bsrc[pb] * ksrc[pk]
-                          for pb, pk, _, _ in period_runs])  # (n_runs,)
-        return y0, agevec, scal, beff, infeasible
-
-    prep_half = jax.vmap(prep_one, out_axes=(-1, -1, -1, -1, 0))
-
-    n_runs = len(period_runs)
     # one engine per effective lane width (small batches pad to fewer lanes
     # than block_b; the kernels' block_lanes must match the padded batch)
     _engines = {}
@@ -559,19 +504,8 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
             thetas = jnp.concatenate(
                 [thetas,
                  jnp.broadcast_to(thetas[:1], (pad,) + thetas.shape[1:])])
-        yA, avA, scA, bdA, infA = prep_half(thetas[:B2])
-        yB, avB, scB, bdB, infB = prep_half(thetas[B2:])
-        pieces = []
-        for c in range(11):
-            pieces += [yA[4 * c: 4 * c + 4], yB[4 * c: 4 * c + 4]]
-        y0_pack = jnp.concatenate(pieces)                    # (88, B2)
-        groups = []
-        for g in range(8):
-            groups += [avA[4 * g: 4 * g + 4], avB[4 * g: 4 * g + 4]]
-        for s in range(7):
-            groups += [jnp.broadcast_to(scA[s:s + 1], (4, B2)),
-                       jnp.broadcast_to(scB[s:s + 1], (4, B2))]
-        param_pack = jnp.concatenate(groups)                 # (120, B2)
+        y0_pack, param_pack, (bdA, bdB), infeasible = \
+            pp.pack_halves(thetas, B2)
         # run r at rows 8r..8r+7: [A, A, A, A, B, B, B, B] — the broadcast's
         # VJP sums the four sublane copies of each half automatically
         betarun_pack = jnp.stack(
@@ -580,8 +514,7 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
         out = get_fused(lanes)(y0_pack, param_pack,
                                betarun_pack)                 # (2, B2)
         ll = jnp.concatenate([out[0], out[1]])[:B]
-        infeasible = jnp.concatenate([infA, infB])[:B]
-        bad = infeasible | jnp.isnan(ll) | jnp.isinf(ll)
+        bad = infeasible[:B] | jnp.isnan(ll) | jnp.isinf(ll)
         return jnp.where(bad, lowest(dtype), ll)
 
     @jax.jit

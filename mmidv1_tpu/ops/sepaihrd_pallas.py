@@ -415,19 +415,23 @@ def fused_objective(y0_pack, param_pack, sched_pack, M2, obs_valid_tables,
     return ll
 
 
-def build_objective_pallas(space, base_params, data, ts, *,
-                           base_initial_state=None, substeps: int = 4,
-                           tableau: str = "dopri5", constraint_mode="reflect",
-                           dtype=None, block_b: int = 2048,
-                           interpret: bool = False):
-    """Batched objective ``loglik_batch(thetas (B, d)) -> (B,)`` backed by the
-    Pallas kernel; drop-in for ``jax.vmap(build_objective(...))`` (parity
-    tested). The theta -> params scatter, constraint, initial-state, and
-    schedule evaluation stay in XLA (measured ~10% of the step); the
-    solve+fold runs in the kernel. ``block_b`` counts CHAINS per kernel block
-    (two sublane-packed halves of ``block_b // 2`` lanes each).
+def shared_prep(space, base_params, data, ts, *, base_initial_state=None,
+                constraint_mode="reflect", dtype=None):
+    """Everything the Pallas objective builder and the adjoint gradient
+    engine (``ops/sepaihrd_adjoint.py``) share: grid validation, the fused
+    observation/validity day tables, the blockdiag contact matrix, the
+    initial state, and the theta -> sublane-packed prep. ONE copy on
+    purpose — the adjoint's custom-VJP forward must pack bit-identically to
+    the plain kernel, so the layout logic must not be able to drift.
+
+    Returns a SimpleNamespace with ``dtype, ts, runup_offset, num_obs,
+    period_runs, n_runs, ov_tables, M2, base_y0`` and ``pack_halves``:
+    ``pack_halves(thetas (2*B2, d), B2) ->
+    (y0_pack (88, B2), param_pack (120, B2), (beffA, beffB) (n_runs, B2) x2,
+    infeasible (2*B2,))``.
     """
-    from ..calibration.objective import lowest
+    import types
+
     from ..models import sepaihrd
 
     if dtype is None:
@@ -450,7 +454,6 @@ def build_objective_pallas(space, base_params, data, ts, *,
     period_runs = period_runs_for_grid(ts,
                                        np.asarray(base_params.beta_end_times),
                                        np.asarray(base_params.kappa_end_times))
-    n_runs = len(period_runs)
 
     def stream_cols(x):
         x = np.asarray(x, dtype=np.float64)
@@ -470,7 +473,6 @@ def build_objective_pallas(space, base_params, data, ts, *,
         [np.concatenate([g, z4], axis=1) for g in groups6], axis=1).astype(dtype)
     ov_bot = np.concatenate(
         [np.concatenate([z4, g], axis=1) for g in groups6], axis=1).astype(dtype)
-    obs_valid_tables = (ov_top, ov_bot)
     Mnp = np.asarray(base_params.M_baseline, dtype=np.float64)
     M2 = np.block([[Mnp, np.zeros_like(Mnp)],
                    [np.zeros_like(Mnp), Mnp]]).astype(dtype)
@@ -499,23 +501,13 @@ def build_objective_pallas(space, base_params, data, ts, *,
                           for pb, pk, _, _ in period_runs])  # (n_runs,)
         return y0, agevec, scal, beff, infeasible
 
+    # out_axes=-1 emits the kernel's trailing-batch layout directly
+    # (an explicit .T costs ~ms at 8192 chains)
     prep_half = jax.vmap(prep_one, out_axes=(-1, -1, -1, -1, 0))
 
-    @jax.jit
-    def loglik_batch(thetas):
-        B = thetas.shape[0]
-        lanes = max(1, min(block_b, B) // 2)
-        half = -(-B // 2)
-        B2 = -(-half // lanes) * lanes
-        pad = 2 * B2 - B
-        if pad:
-            thetas = jnp.concatenate(
-                [thetas, jnp.broadcast_to(thetas[:1], (pad,) + thetas.shape[1:])])
-        # out_axes=-1 emits the kernel's trailing-batch layout directly
-        # (an explicit .T costs ~ms at 8192 chains)
+    def pack_halves(thetas, B2):
         yA, avA, scA, beA, infA = prep_half(thetas[:B2])
         yB, avB, scB, beB, infB = prep_half(thetas[B2:])
-
         pieces = []
         for c in range(11):
             pieces += [yA[4 * c: 4 * c + 4], yB[4 * c: 4 * c + 4]]
@@ -527,20 +519,60 @@ def build_objective_pallas(space, base_params, data, ts, *,
             groups += [jnp.broadcast_to(scA[s:s + 1], (4, B2)),
                        jnp.broadcast_to(scB[s:s + 1], (4, B2))]
         param_pack = jnp.concatenate(groups)                 # (120, B2)
+        return y0_pack, param_pack, (beA, beB), \
+            jnp.concatenate([infA, infB])
+
+    return types.SimpleNamespace(
+        dtype=dtype, ts=ts, runup_offset=runup_offset, num_obs=num_obs,
+        period_runs=period_runs, n_runs=len(period_runs),
+        ov_tables=(ov_top, ov_bot), M2=M2, base_y0=base_y0,
+        pack_halves=pack_halves)
+
+
+def build_objective_pallas(space, base_params, data, ts, *,
+                           base_initial_state=None, substeps: int = 4,
+                           tableau: str = "dopri5", constraint_mode="reflect",
+                           dtype=None, block_b: int = 2048,
+                           interpret: bool = False):
+    """Batched objective ``loglik_batch(thetas (B, d)) -> (B,)`` backed by the
+    Pallas kernel; drop-in for ``jax.vmap(build_objective(...))`` (parity
+    tested). The theta -> params scatter, constraint, initial-state, and
+    schedule evaluation stay in XLA (measured ~10% of the step); the
+    solve+fold runs in the kernel. ``block_b`` counts CHAINS per kernel block
+    (two sublane-packed halves of ``block_b // 2`` lanes each).
+    """
+    from ..calibration.objective import lowest
+
+    pp = shared_prep(space, base_params, data, ts,
+                     base_initial_state=base_initial_state,
+                     constraint_mode=constraint_mode, dtype=dtype)
+    dtype, n_runs = pp.dtype, pp.n_runs
+
+    @jax.jit
+    def loglik_batch(thetas):
+        B = thetas.shape[0]
+        lanes = max(1, min(block_b, B) // 2)
+        half = -(-B // 2)
+        B2 = -(-half // lanes) * lanes
+        pad = 2 * B2 - B
+        if pad:
+            thetas = jnp.concatenate(
+                [thetas, jnp.broadcast_to(thetas[:1], (pad,) + thetas.shape[1:])])
+        y0_pack, param_pack, (beA, beB), infeasible = \
+            pp.pack_halves(thetas, B2)
         sched = jnp.stack([beA, beB], axis=1).reshape(2 * n_runs, B2)
         sched_pack = jnp.concatenate(
             [sched, jnp.zeros((_sched_rows(n_runs) - 2 * n_runs, B2),
                               dtype=sched.dtype)])
 
-        out = fused_objective(y0_pack, param_pack, sched_pack, M2,
-                              obs_valid_tables,
-                              runup_offset=runup_offset,
-                              period_runs=period_runs, substeps=substeps,
+        out = fused_objective(y0_pack, param_pack, sched_pack, pp.M2,
+                              pp.ov_tables,
+                              runup_offset=pp.runup_offset,
+                              period_runs=pp.period_runs, substeps=substeps,
                               tableau=tableau, block_lanes=lanes,
                               interpret=interpret)
         ll = jnp.concatenate([out[0], out[1]])[:B]
-        infeasible = jnp.concatenate([infA, infB])[:B]
-        bad = infeasible | jnp.isnan(ll) | jnp.isinf(ll)
+        bad = infeasible[:B] | jnp.isnan(ll) | jnp.isinf(ll)
         return jnp.where(bad, lowest(dtype), ll)
 
     return loglik_batch

@@ -20,8 +20,10 @@ import numpy as np
 from ..calibration.mh import MHState
 
 
-def save_mh_state(path: str, state: MHState) -> None:
-    """Save an MHState (atomically: write + rename) as an .npz archive."""
+def _save_state_npz(path: str, state) -> None:
+    """Atomic NamedTuple-of-arrays save: write a tmp npz, then rename. One
+    shared routine so the atomicity/naming behavior cannot drift between the
+    MH/PT/NUTS savers."""
     d = os.path.dirname(os.path.abspath(path))
     if d:
         os.makedirs(d, exist_ok=True)
@@ -29,26 +31,29 @@ def save_mh_state(path: str, state: MHState) -> None:
     np.savez_compressed(tmp, **{k: np.asarray(v)
                                 for k, v in state._asdict().items()})
     os.replace(tmp, path)
+
+
+def save_mh_state(path: str, state: MHState) -> None:
+    """Save an MHState (atomically: write + rename) as an .npz archive."""
+    _save_state_npz(path, state)
+
+
+def _load_state_npz(path: str, cls):
+    with np.load(path) as z:
+        import jax.numpy as jnp
+        return cls(**{k: jnp.asarray(z[k]) for k in cls._fields})
 
 
 def load_mh_state(path: str) -> MHState:
     """Load an MHState written by :func:`save_mh_state` (host arrays; JAX
     re-devices them on first use)."""
-    with np.load(path) as z:
-        import jax.numpy as jnp
-        return MHState(**{k: jnp.asarray(z[k]) for k in MHState._fields})
+    return _load_state_npz(path, MHState)
 
 
 def save_pt_state(path: str, state) -> None:
     """Save a tempering :class:`~mmidv1_tpu.calibration.tempering.PTState`
     (same atomic npz pattern as :func:`save_mh_state`)."""
-    d = os.path.dirname(os.path.abspath(path))
-    if d:
-        os.makedirs(d, exist_ok=True)
-    tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, **{k: np.asarray(v)
-                                for k, v in state._asdict().items()})
-    os.replace(tmp, path)
+    _save_state_npz(path, state)
 
 
 def load_pt_state(path: str):
@@ -78,21 +83,13 @@ def save_nuts_state(path: str, state) -> None:
     in whitened z-coordinates — valid to resume only with the same
     ``mu``/``scale`` factor.
     """
-    d = os.path.dirname(os.path.abspath(path))
-    if d:
-        os.makedirs(d, exist_ok=True)
-    tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, **{k: np.asarray(v)
-                                for k, v in state._asdict().items()})
-    os.replace(tmp, path)
+    _save_state_npz(path, state)
 
 
 def load_nuts_state(path: str):
     from ..calibration.nuts import NUTSState
 
-    with np.load(path) as z:
-        import jax.numpy as jnp
-        return NUTSState(**{k: jnp.asarray(z[k]) for k in NUTSState._fields})
+    return _load_state_npz(path, NUTSState)
 
 
 def write_posterior_trace(path: str, samples: np.ndarray,

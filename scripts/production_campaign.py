@@ -185,7 +185,11 @@ def main(argv=None) -> int:
         state, start = None, 0
         if os.path.exists(ckpt):
             state = load_pt_state(ckpt)
-            start = int(np.asarray(state.step)) // per_segment
+            # run_pt rounds each segment UP to whole thinning blocks, so
+            # divide by the steps actually run, not the nominal per_segment
+            steps_per_segment = (-(-per_segment // args.thinning)
+                                 * args.thinning)
+            start = int(np.asarray(state.step)) // steps_per_segment
             print(f"resuming PT campaign at step {int(np.asarray(state.step))}")
         runner = make_pt_runner(space, pt_cfg, ll_b, dtype=dtype)
         res = None

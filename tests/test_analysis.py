@@ -257,6 +257,14 @@ def test_convergence_diagnostics():
     shifted[:, 0, :] += 10.0
     assert (split_rhat(shifted) > 1.5).all()
 
+    # chains FROZEN at different points: within-chain draws look like tiny
+    # white noise, but the var_plus coupling (Stan/Vehtari estimator) must
+    # report near-zero ESS, not ~n*m (per-chain centering alone would)
+    frozen = (10.0 * np.arange(8.0))[None, :, None] + \
+        0.01 * rng.normal(size=(1000, 8, 3))
+    ess_frozen = effective_sample_size(frozen)
+    assert (ess_frozen < 50).all(), ess_frozen
+
     # AR(1) with phi=0.9 -> ESS ~ n*(1-phi)/(1+phi) ~ 5% of draws
     n, m = 2000, 4
     ar = np.zeros((n, m, 1))

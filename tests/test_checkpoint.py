@@ -188,3 +188,43 @@ def test_nuts_checkpoint_resume_is_exact(tmp_path, problem):
     np.testing.assert_array_equal(glued, np.asarray(full.samples))
     np.testing.assert_array_equal(np.asarray(part1.samples),
                                   np.asarray(full.samples))
+
+
+def test_checkpointed_resume_when_thinning_not_dividing_segment(tmp_path,
+                                                                problem):
+    """Each segment actually runs ceil(per_segment/thinning)*thinning steps;
+    the resume index must divide by the steps ACTUALLY run. With
+    per_segment=10 and thinning=4 every segment runs 12 steps, so after 5
+    completed segments the checkpoint is at step 60 — the old
+    step // per_segment index computed 6 and falsely declared a 6-segment
+    campaign complete (and silently skipped segments at smaller drifts)."""
+    import numpy as _np
+
+    from mmidv1_tpu.calibration.mh import run_mh_checkpointed
+
+    loglik, space = problem
+    key = jax.random.PRNGKey(5)
+    theta0 = jnp.zeros(2)
+    cfg = MHConfig(iterations=60, burn_in=4, adaptation_period=20, thinning=4)
+
+    full = run_mh_checkpointed(loglik, space, theta0, key, cfg, n_chains=8,
+                               segments=6,
+                               checkpoint_path=str(tmp_path / "full.npz"))
+    assert int(full.final_state.step) == 72      # 6 x ceil(10/4)*4
+
+    part = run_mh_checkpointed(loglik, space, theta0, key,
+                               MHConfig(iterations=50, burn_in=4,
+                                        adaptation_period=20, thinning=4),
+                               n_chains=8, segments=5,
+                               checkpoint_path=str(tmp_path / "ckpt.npz"))
+    assert int(part.final_state.step) == 60
+    resumed = run_mh_checkpointed(loglik, space, theta0, key, cfg, n_chains=8,
+                                  segments=6,
+                                  checkpoint_path=str(tmp_path / "ckpt.npz"))
+    # must run EXACTLY segment 5 (3 stored blocks), not raise
+    # "checkpoint already covers all 6 segments" (step 60 // 10 = 6)
+    assert resumed.samples.shape[0] == 3
+    _np.testing.assert_array_equal(_np.asarray(resumed.samples),
+                                   _np.asarray(full.samples[15:]))
+    _np.testing.assert_array_equal(_np.asarray(resumed.final_state.x),
+                                   _np.asarray(full.final_state.x))

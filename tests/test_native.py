@@ -79,3 +79,36 @@ def test_trace_writer_native_matches_fallback(tmp_path, monkeypatch):
     monkeypatch.setattr(native, "write_trace_csv", lambda *a, **k: False)
     write_posterior_trace(str(p2), samples, logps, ["a", "b", "c"])
     assert p1.read_text() == p2.read_text()
+
+
+def test_calibration_data_out_of_range_malformed_rows_ignored(tmp_path):
+    """A malformed cell in a row OUTSIDE [start_date, end_date] must not
+    fail the load (the native bulk parse reads every row; its error must
+    fall back to the range-limited Python path), while a malformed cell in
+    a selected row still raises the data-format taxonomy."""
+    from mmidv1_tpu.data import CalibrationData
+    from mmidv1_tpu.utils import DataFormatException
+
+    path = os.path.join(REPO, "data", "processed", "processed_data.csv")
+    with open(path) as f:
+        lines = f.read().splitlines()
+    hdr = lines[0].split(",")
+    age_col = hdr.index("new_confirmed_0_30")   # a column the loader parses
+    # trailing row past end_date with an empty numeric cell
+    bad_tail = lines[-1].split(",")
+    bad_tail[0] = "2021-06-01"
+    bad_tail[age_col] = ""
+    p = tmp_path / "data.csv"
+    p.write_text("\n".join(lines + [",".join(bad_tail)]) + "\n")
+    data = CalibrationData.from_csv(str(p), "2020-03-01", "2020-06-30")
+    assert data.n_data_points > 0
+
+    # the same malformed cell INSIDE the range must still raise
+    k = next(i for i, ln in enumerate(lines) if ln.startswith("2020-04-15"))
+    bad_in = lines[k].split(",")
+    bad_in[age_col] = "not_a_number"
+    p2 = tmp_path / "bad.csv"
+    p2.write_text("\n".join(lines[:k] + [",".join(bad_in)] + lines[k + 1:])
+                  + "\n")
+    with pytest.raises(DataFormatException):
+        CalibrationData.from_csv(str(p2), "2020-03-01", "2020-06-30")
