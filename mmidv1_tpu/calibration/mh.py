@@ -477,9 +477,17 @@ def run_mh_checkpointed(
     jitter: float = 1.0,
     progress_fn: Optional[Callable] = None,
     loglik_batch: Optional[Callable] = None,
+    on_segment: Optional[Callable] = None,
 ) -> MHResult:
     """Production campaign driver: the run split into ``segments`` device
     programs with a disk checkpoint between each.
+
+    ``on_segment(segment_index, segment_result)`` fires after each segment,
+    BEFORE the state checkpoint is written (artifacts first, state last: the
+    checkpoint is the commit point). Use it to persist per-segment samples —
+    the returned ``MHResult.samples`` covers only segments run in THIS
+    process, so a resumed campaign's full posterior must be reassembled from
+    per-segment files (see ``scripts/production_campaign.py``).
 
     Long single XLA programs are fragile (device watchdogs/preemption — on
     this environment programs beyond a few minutes of device time crash the
@@ -538,6 +546,8 @@ def run_mh_checkpointed(
         state = result.final_state
         all_samples.append(np.asarray(result.samples))
         all_logps.append(np.asarray(result.sample_logps))
+        if on_segment is not None:
+            on_segment(s, result)
         if checkpoint_path:
             from ..utils.checkpoint import save_mh_state
 

@@ -41,33 +41,15 @@ def main(argv=None) -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
-    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
-    from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
-    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
-                                 read_params_to_calibrate,
-                                 read_proposal_sigmas,
-                                 read_sepaihrd_parameters)
-    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+    from mmidv1_tpu.calibration.param_space import REFLECT
+    from mmidv1_tpu.cli.common import load_spain_pipeline
     from mmidv1_tpu.ops import build_objective_pallas_grad
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}")
     dtype = jnp.float32
-    cfg_dir = os.path.join(REPO, "data", "configuration")
-    data = CalibrationData.from_csv(
-        os.path.join(REPO, "data", "processed", "processed_data.csv"),
-        "2020-03-01", "2020-12-31")
-    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
-    params = read_sepaihrd_parameters(
-        os.path.join(cfg_dir, "initial_guess.txt"), 4,
-        N=data.population_by_age, M_baseline=M, dtype=dtype)
-    names = read_params_to_calibrate(
-        os.path.join(cfg_dir, "params_to_calibrate.txt"))
-    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
-    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
-    space = ParameterSpace.create(names, bounds, sigmas, params)
-    ts = make_time_grid(float(np.asarray(params.runup_days)),
-                        data.n_data_points)
+    pipe = load_spain_pipeline(REPO, dtype=dtype)
+    data, params, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
 
     B = args.batch
     key = jax.random.PRNGKey(0)

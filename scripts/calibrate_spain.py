@@ -75,35 +75,24 @@ def main(argv=None):
 
     from mmidv1_tpu.calibration.calibrator import calibrate
     from mmidv1_tpu.calibration.mh import MHConfig
-    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
-    from mmidv1_tpu.calibration.param_space import CLAMP, REFLECT, ParameterSpace
+    from mmidv1_tpu.calibration.objective import build_objective
+    from mmidv1_tpu.calibration.param_space import CLAMP, REFLECT
     from mmidv1_tpu.calibration.pso import PSOConfig
     from mmidv1_tpu.calibration.hill import HillClimbConfig
     from mmidv1_tpu.calibration.nuts import NUTSConfig
-    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
-                                 read_params_to_calibrate, read_proposal_sigmas,
-                                 read_sepaihrd_parameters, read_settings,
+    from mmidv1_tpu.cli.common import load_spain_pipeline
+    from mmidv1_tpu.data import (read_sepaihrd_parameters, read_settings,
                                  save_calibration_results)
-    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
 
     dtype = jnp.float64 if args.x64 else jnp.float32
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}; dtype {dtype.__name__}")
 
-    cfg_dir = os.path.join(REPO, "data", "configuration")
     t_load = time.perf_counter()
-    data = CalibrationData.from_csv(
-        os.path.join(REPO, "data", "processed", "processed_data.csv"),
-        "2020-03-01", "2020-12-31")
-    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
-    params = read_sepaihrd_parameters(
-        os.path.join(cfg_dir, "initial_guess.txt"), 4,
-        N=data.population_by_age, M_baseline=M, dtype=dtype)
-    names = read_params_to_calibrate(os.path.join(cfg_dir, "params_to_calibrate.txt"))
-    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
-    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
-    space = ParameterSpace.create(names, bounds, sigmas, params)
-    ts = make_time_grid(float(np.asarray(params.runup_days)), data.n_data_points)
+    cfg_dir = os.path.join(REPO, "data", "configuration")
+    pipe = load_spain_pipeline(REPO, dtype=dtype)
+    data, params, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
+    M = params.M_baseline
     print(f"config loaded: {space.dim} calibratable params, "
           f"{data.n_data_points} observation days, grid {len(ts)} points "
           f"({time.perf_counter() - t_load:.1f}s)")

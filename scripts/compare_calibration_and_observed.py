@@ -91,6 +91,13 @@ def main(argv=None) -> int:
                                         "simulated_incidence_best_fit.csv"))
     p.add_argument("--output",
                    default=os.path.join(REPO, "data", "visualizations"))
+    p.add_argument("--start-date", default="2020-03-01",
+                   help="first observed date of the calibration window (the "
+                        "demo's window); simulated day 0 = this date, so "
+                        "the observed rows are sliced to it — without the "
+                        "slice the two curves sit on day axes offset by the "
+                        "pre-window rows of the processed CSV")
+    p.add_argument("--end-date", default="2020-12-31")
     args = p.parse_args(argv)
 
     if not os.path.exists(args.simulated):
@@ -99,6 +106,10 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
     observed = pd.read_csv(args.observed)
+    if "date" in observed.columns:
+        observed = observed[(observed["date"] >= args.start_date)
+                            & (observed["date"] <= args.end_date)]
+        observed = observed.reset_index(drop=True)
     simulated = pd.read_csv(args.simulated)
     os.makedirs(args.output, exist_ok=True)
     outs = [plot_comparison(observed, simulated, args.output),

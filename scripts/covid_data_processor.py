@@ -104,6 +104,18 @@ def main(argv=None) -> int:
             return 1
         merged = result[existing.columns].reset_index(drop=True)
         import numpy as np
+        if len(merged) != len(existing):
+            print(f"MISMATCH: {len(merged)} regenerated rows vs "
+                  f"{len(existing)} committed (window --start/--end?)")
+            print("CHECK FAILED")
+            return 1
+        non_num = [c for c in existing.columns
+                   if c not in existing.select_dtypes("number").columns]
+        if non_num and not merged[non_num].equals(
+                existing[non_num].reset_index(drop=True)):
+            print(f"MISMATCH: non-numeric columns differ: {non_num}")
+            print("CHECK FAILED")
+            return 1
         num = existing.select_dtypes("number").columns
         ok = np.allclose(merged[num].to_numpy(dtype=float),
                          existing[num].to_numpy(dtype=float),

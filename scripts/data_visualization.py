@@ -254,7 +254,7 @@ def plot_dynamics_frame(df: pd.DataFrame, out_dir: str, formats=("png",),
     return paths
 
 
-def simulate_frame(calibrated: str | None = None, days: int = 305,
+def simulate_frame(calibrated: str | None = None, days: int | None = None,
                    substeps: int = 4) -> pd.DataFrame:
     """Run the in-repo forward model and return a reference-format frame.
 
@@ -280,8 +280,11 @@ def simulate_frame(calibrated: str | None = None, days: int = 305,
     src = calibrated or os.path.join(cfg_dir, "initial_guess.txt")
     params = read_sepaihrd_parameters(
         src, 4, N=data.population_by_age, M_baseline=M, dtype=jnp.float32)
-    ts = make_time_grid(float(np.asarray(params.runup_days)),
-                        min(days, data.n_data_points))
+    # default: the FULL observation window (306 days for 2020-03-01..
+    # 2020-12-31) — a hard-coded day count silently truncated 2020-12-31
+    n_days = data.n_data_points if days is None else min(days,
+                                                         data.n_data_points)
+    ts = make_time_grid(float(np.asarray(params.runup_days)), n_days)
     y0 = sepaihrd.runup_seeded_state(params, None)
     traj = np.asarray(sepaihrd.solve(params, y0, ts, method="fixed",
                                      substeps=substeps))

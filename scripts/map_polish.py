@@ -67,34 +67,17 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
     from scipy.optimize import minimize
 
-    from mmidv1_tpu.calibration.objective import (build_objective,
-                                                  make_time_grid)
-    from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
-    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
-                                 read_params_to_calibrate,
-                                 read_proposal_sigmas,
-                                 read_sepaihrd_parameters)
+    from mmidv1_tpu.calibration.objective import build_objective
+    from mmidv1_tpu.calibration.param_space import REFLECT
+    from mmidv1_tpu.cli.common import load_spain_pipeline
+    from mmidv1_tpu.data import read_sepaihrd_parameters
     from mmidv1_tpu.data.config_io import save_calibration_results
-    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
 
-    cfg_dir = os.path.join(REPO, "data", "configuration")
-    data = CalibrationData.from_csv(
-        os.path.join(REPO, "data", "processed", "processed_data.csv"),
-        "2020-03-01", "2020-12-31")
-    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
-    base = read_sepaihrd_parameters(
-        os.path.join(cfg_dir, "initial_guess.txt"), 4,
-        N=data.population_by_age, M_baseline=M, dtype=jnp.float64)
-    space = ParameterSpace.create(
-        read_params_to_calibrate(os.path.join(cfg_dir,
-                                              "params_to_calibrate.txt")),
-        read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt")),
-        read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt")),
-        base)
     # grid semantics: FIXED from the initial guess's runup_days
     # (reference main.cpp:241; PARITY.md reproducibility note 1)
-    ts = make_time_grid(float(np.asarray(base.runup_days)),
-                        data.n_data_points)
+    pipe = load_spain_pipeline(REPO, dtype=jnp.float64)
+    data, base, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
+    M = base.M_baseline
     ll64 = build_objective(space, base, data, ts, substeps=args.substeps,
                            tableau=args.tableau, constraint_mode=REFLECT,
                            dtype=jnp.float64)
@@ -124,8 +107,14 @@ def main(argv=None) -> int:
         pinned = (at_lo & (g0 < 0)) | (at_hi & (g0 > 0))
         free = ~pinned
         sig = np.asarray(space.sigmas, np.float64)
+        room_lo = theta - lo
+        room_hi = hi - theta
         h = np.maximum(1e-4 * sig, 1e-9)
-        h = np.minimum(h, np.maximum(np.minimum(theta - lo, hi - theta) * 0.5,
+        # cap by the LARGER one-sided room: a free coordinate can sit
+        # exactly on a bound (inward gradient within gtol), and shrinking h
+        # toward 0 there would difference REFLECT-folded out-of-box points
+        # into a garbage Hessian row — use a one-sided stencil instead
+        h = np.minimum(h, np.maximum(np.maximum(room_lo, room_hi) * 0.5,
                                      1e-12))
         H = np.zeros((d, d))
         t0 = time.perf_counter()
@@ -134,9 +123,20 @@ def main(argv=None) -> int:
                 continue
             e = np.zeros(d)
             e[i] = h[i]
-            _, gp = vg(jnp.asarray(theta + e))
-            _, gm = vg(jnp.asarray(theta - e))
-            H[i] = (np.asarray(gp) - np.asarray(gm)) / (2 * h[i])
+            up_ok = room_hi[i] >= h[i]
+            dn_ok = room_lo[i] >= h[i]
+            if up_ok and dn_ok:
+                _, gp = vg(jnp.asarray(theta + e))
+                _, gm = vg(jnp.asarray(theta - e))
+                H[i] = (np.asarray(gp) - np.asarray(gm)) / (2 * h[i])
+            elif up_ok:
+                _, gp = vg(jnp.asarray(theta + e))
+                H[i] = (np.asarray(gp) - g0) / h[i]
+            elif dn_ok:
+                _, gm = vg(jnp.asarray(theta - e))
+                H[i] = (g0 - np.asarray(gm)) / h[i]
+            # else: degenerate-width coordinate — row stays 0 and the
+            # eigenvalue floor below supplies a conservative variance
         Hf = 0.5 * (H[np.ix_(free, free)] + H[np.ix_(free, free)].T)
         w, V = np.linalg.eigh(-Hf)
         print(f"  Hessian: {2 * int(free.sum())} grad evals in "

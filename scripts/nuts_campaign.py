@@ -130,33 +130,18 @@ def main(argv=None) -> int:
 
     from mmidv1_tpu.calibration.nuts import (NUTSConfig, run_nuts_dense,
                                              run_nuts_whitened)
-    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
-    from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
-    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
-                                 read_params_to_calibrate,
-                                 read_proposal_sigmas,
-                                 read_sepaihrd_parameters)
-    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+    from mmidv1_tpu.calibration.objective import build_objective
+    from mmidv1_tpu.calibration.param_space import REFLECT
+    from mmidv1_tpu.cli.common import load_spain_pipeline
+    from mmidv1_tpu.data import read_sepaihrd_parameters
     from mmidv1_tpu.data.config_io import save_calibration_results
     from mmidv1_tpu.utils.checkpoint import write_posterior_trace
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}")
-    cfg_dir = os.path.join(REPO, "data", "configuration")
-    data = CalibrationData.from_csv(
-        os.path.join(REPO, "data", "processed", "processed_data.csv"),
-        "2020-03-01", "2020-12-31")
-    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
-    params = read_sepaihrd_parameters(
-        os.path.join(cfg_dir, "initial_guess.txt"), 4,
-        N=data.population_by_age, M_baseline=M, dtype=dtype)
-    names = read_params_to_calibrate(
-        os.path.join(cfg_dir, "params_to_calibrate.txt"))
-    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
-    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
-    space = ParameterSpace.create(names, bounds, sigmas, params)
-    ts = make_time_grid(float(np.asarray(params.runup_days)),
-                        data.n_data_points)
+    pipe = load_spain_pipeline(REPO, dtype=dtype)
+    data, params, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
+    M = params.M_baseline
 
     loglik = build_objective(space, params, data, ts, substeps=args.substeps,
                              tableau=args.tableau,
@@ -402,13 +387,31 @@ def main(argv=None) -> int:
                              initial_state=initial_state,
                              on_segment=on_segment)
     else:
-        res = run_nuts_whitened(loglik, space, theta0,
+        # --warm threads through as a 2-D theta0 (run_nuts warm-ensemble
+        # form; the sigma whitening is a broadcastable scaling)
+        w_theta0 = (jnp.asarray(warm_init, dtype) if warm_init is not None
+                    else theta0)
+        res = run_nuts_whitened(loglik, space, w_theta0,
                                 jax.random.PRNGKey(args.seed), cfg,
                                 n_chains=args.chains, jitter=args.jitter,
                                 value_and_grad_batch=vag,
                                 segments=args.segments)
     jax.block_until_ready(res.samples)
-    wall = time.perf_counter() - t0
+    wall_proc = time.perf_counter() - t0
+    # total campaign wall: a resumed/extended run accumulates the previous
+    # completed run's wall (from its metadata), so min-ESS/s divides the
+    # full trace by the full time, not just this process's share (a crashed
+    # run leaves no metadata — its time is undercounted, which only makes
+    # the reported throughput conservative)
+    wall = wall_proc
+    if args.resume:
+        prev_meta_path = os.path.join(args.out, "campaign_metadata.json")
+        if os.path.exists(prev_meta_path):
+            try:
+                with open(prev_meta_path) as f:
+                    wall += float(json.load(f).get("wall_seconds", 0.0))
+            except Exception:
+                pass
     if prev_xs:
         # full history (pre-resume parts + this process's parts)
         res = res._replace(
@@ -420,7 +423,9 @@ def main(argv=None) -> int:
                                    if initial_state is not None else 0)
     grads = max(iters_run, 1) * (2 ** args.depth) * args.chains
     print(f"campaign: {args.iterations} iters x {args.chains} chains in "
-          f"{wall:.0f}s ({grads / wall:.3e} value_and_grads/s incl. host)")
+          f"{wall_proc:.0f}s this process "
+          f"({grads / wall_proc:.3e} value_and_grads/s incl. host; "
+          f"{wall:.0f}s campaign total)")
     print(f"mean accept-stat {float(np.mean(np.asarray(res.mean_accept))):.3f}; "
           f"median step size {float(np.median(np.asarray(res.step_sizes))):.4f} "
           "(whitened units); "
@@ -483,7 +488,7 @@ def main(argv=None) -> int:
             "warmup": args.warmup, "max_tree_depth": args.depth,
             "substeps": args.substeps, "tableau": args.tableau,
             "wall_seconds": wall,
-            "value_and_grads_per_sec_incl_host": grads / wall,
+            "value_and_grads_per_sec_incl_host": grads / wall_proc,
             "mean_accept": float(np.mean(np.asarray(res.mean_accept))),
             "mean_tree_depth": float(np.mean(np.asarray(res.mean_depth))),
             "best_logl_float64": float(lls[k]),

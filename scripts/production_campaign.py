@@ -85,33 +85,18 @@ def main(argv=None) -> int:
 
     from mmidv1_tpu.analysis import generate_full_report
     from mmidv1_tpu.calibration.mh import MHConfig, run_mh_checkpointed
-    from mmidv1_tpu.calibration.objective import build_objective, make_time_grid
-    from mmidv1_tpu.calibration.param_space import REFLECT, ParameterSpace
-    from mmidv1_tpu.data import (CalibrationData, read_param_bounds,
-                                 read_params_to_calibrate,
-                                 read_proposal_sigmas,
-                                 read_sepaihrd_parameters)
-    from mmidv1_tpu.data.contact_matrix import read_matrix_from_csv
+    from mmidv1_tpu.calibration.objective import build_objective
+    from mmidv1_tpu.calibration.param_space import REFLECT
+    from mmidv1_tpu.cli.common import load_spain_pipeline
+    from mmidv1_tpu.data import read_sepaihrd_parameters
     from mmidv1_tpu.ops import build_objective_pallas
     from mmidv1_tpu.utils.checkpoint import write_posterior_trace
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}")
-    cfg_dir = os.path.join(REPO, "data", "configuration")
-    data = CalibrationData.from_csv(
-        os.path.join(REPO, "data", "processed", "processed_data.csv"),
-        "2020-03-01", "2020-12-31")
-    M = read_matrix_from_csv(os.path.join(REPO, "data", "contacts.csv"), 4, 4)
-    params = read_sepaihrd_parameters(
-        os.path.join(cfg_dir, "initial_guess.txt"), 4,
-        N=data.population_by_age, M_baseline=M, dtype=dtype)
-    names = read_params_to_calibrate(
-        os.path.join(cfg_dir, "params_to_calibrate.txt"))
-    bounds = read_param_bounds(os.path.join(cfg_dir, "param_bounds.txt"))
-    sigmas = read_proposal_sigmas(os.path.join(cfg_dir, "proposal_sigmas.txt"))
-    space = ParameterSpace.create(names, bounds, sigmas, params)
-    ts = make_time_grid(float(np.asarray(params.runup_days)),
-                        data.n_data_points)
+    pipe = load_spain_pipeline(REPO, dtype=dtype)
+    data, params, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
+    M = params.M_baseline
 
     loglik = build_objective(space, params, data, ts, substeps=args.substeps,
                              tableau=args.tableau,
@@ -166,6 +151,7 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
     swap_rate = None
+    resumed_any = False
     if args.rungs > 1:
         # replica-exchange campaign: --chains total slots split over the
         # temperature ladder; the returned samples are the cold rung's
@@ -184,6 +170,7 @@ def main(argv=None) -> int:
         ll_b = ll_batch if ll_batch is not None else jax.jit(jax.vmap(loglik))
         state, start = None, 0
         if os.path.exists(ckpt):
+            resumed_any = True
             state = load_pt_state(ckpt)
             # run_pt rounds each segment UP to whole thinning blocks, so
             # divide by the steps actually run, not the nominal per_segment
@@ -255,12 +242,63 @@ def main(argv=None) -> int:
         cfg = MHConfig(iterations=args.iterations, burn_in=args.burn_in,
                        adaptation_period=100, thinning=args.thinning,
                        proposal=args.proposal)
+        ckpt = os.path.join(args.out, "campaign_checkpoint.npz")
+        resumed_mh = os.path.exists(ckpt)
+        resumed_any = resumed_mh
+
+        def persist_segment(s, seg_res):
+            # per-segment sample files, written BEFORE the state checkpoint
+            # (run_mh_checkpointed calls this first): run_mh_checkpointed's
+            # returned samples cover only THIS process, so a resumed
+            # campaign's posterior must be reassembled from these
+            np.savez_compressed(
+                os.path.join(args.out, f"mh_segment_{s:04d}.npz"),
+                samples=np.asarray(seg_res.samples),
+                sample_logps=np.asarray(seg_res.sample_logps))
+
+        if not resumed_mh:
+            # fresh campaign: segment files from an older run in the same
+            # out dir must not leak into this posterior
+            for f in glob_mod.glob(os.path.join(args.out,
+                                                "mh_segment_*.npz")):
+                os.remove(f)
         res = run_mh_checkpointed(
             loglik, space, theta0, jax.random.PRNGKey(args.seed), cfg,
             n_chains=args.chains, segments=args.segments,
-            checkpoint_path=os.path.join(args.out, "campaign_checkpoint.npz"),
-            initial_cov=initial_cov, loglik_batch=ll_batch)
+            checkpoint_path=ckpt,
+            initial_cov=initial_cov, loglik_batch=ll_batch,
+            on_segment=persist_segment)
+        if resumed_mh:
+            seg_files = [os.path.join(args.out, f"mh_segment_{s:04d}.npz")
+                         for s in range(args.segments)]
+            missing = [f for f in seg_files if not os.path.exists(f)]
+            if missing:
+                raise SystemExit(
+                    f"resumed MH campaign is missing segment files "
+                    f"{missing[:3]}... (pre-resume segments ran without "
+                    f"persistence?) — rerun without the checkpoint for a "
+                    f"fresh campaign")
+            all_xs, all_lps = [], []
+            for f in seg_files:
+                with np.load(f) as z:
+                    all_xs.append(z["samples"])
+                    all_lps.append(z["sample_logps"])
+            res = res._replace(
+                samples=jnp.asarray(np.concatenate(all_xs, axis=0)),
+                sample_logps=jnp.asarray(np.concatenate(all_lps, axis=0)))
+            print(f"resumed posterior reassembled from {len(seg_files)} "
+                  f"segment files (pre-resume draws included)")
     wall = time.perf_counter() - t0
+    # a resumed campaign accumulates the previous completed run's wall so
+    # chain-steps/s divides total steps by total time (final_state.step
+    # includes pre-resume steps)
+    prev_meta_path = os.path.join(args.out, "campaign_metadata.json")
+    if resumed_any and os.path.exists(prev_meta_path):
+        try:
+            with open(prev_meta_path) as f:
+                wall += float(json.load(f).get("wall_seconds", 0.0))
+        except Exception:
+            pass
     steps = int(np.asarray(res.final_state.step)) * args.chains
     print(f"campaign: {args.iterations} iters x {args.chains} chains in "
           f"{wall:.0f}s ({steps/wall:.3e} chain-steps/s incl. host overhead)")

@@ -414,3 +414,45 @@ def test_nuts_campaign_resume_reconciles_uncheckpointed_partial(tmp_path):
     with pytest.raises(SystemExit):
         nuts_campaign.main(common + ["--iterations", "10", "--segments", "5",
                                      "--resume", "--out", str(crash)])
+
+@pytest.mark.slow
+def test_production_campaign_mh_resume_covers_presume_segments(tmp_path):
+    """The MH branch persists per-segment sample files and a resumed
+    campaign's posterior includes the pre-resume segments (previously the
+    resumed process silently reported only its own segments' draws)."""
+    import json
+
+    import numpy as np
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import production_campaign
+
+    common = ["--chains", "8", "--burn-in", "2", "--thinning", "4",
+              "--substeps", "2", "--dtype", "float64",
+              "--out", str(tmp_path), "--skip-report"]
+    # interrupted: first 2 of 3 segments (4 iters each -> step 8)
+    rc = production_campaign.main(common + ["--iterations", "8",
+                                            "--segments", "2"])
+    assert rc == 0
+    assert (tmp_path / "mh_segment_0000.npz").exists()
+    assert (tmp_path / "mh_segment_0001.npz").exists()
+    meta1 = json.loads((tmp_path / "campaign_metadata.json").read_text())
+
+    # resume to the full 3-segment campaign
+    rc = production_campaign.main(common + ["--iterations", "12",
+                                            "--segments", "3"])
+    assert rc == 0
+    assert (tmp_path / "mh_segment_0002.npz").exists()
+    meta2 = json.loads((tmp_path / "campaign_metadata.json").read_text())
+    # posterior covers ALL segments (1 stored block of 8 chains each)
+    assert meta2["stored_samples"] == 3 * 8
+    assert meta2["stored_samples"] > meta1["stored_samples"]
+    # wall accumulates across the resume (total >= the resumed process's)
+    assert meta2["wall_seconds"] > meta1["wall_seconds"]
+    # and the reassembled trace equals the concatenated segment files
+    seg = [np.load(tmp_path / f"mh_segment_{s:04d}.npz")["samples"]
+           for s in range(3)]
+    trace = (tmp_path / "posterior_trace.csv").read_text().splitlines()
+    assert len(trace) - 1 == sum(x.shape[0] * x.shape[1] for x in seg)
