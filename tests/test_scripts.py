@@ -456,3 +456,28 @@ def test_production_campaign_mh_resume_covers_presume_segments(tmp_path):
            for s in range(3)]
     trace = (tmp_path / "posterior_trace.csv").read_text().splitlines()
     assert len(trace) - 1 == sum(x.shape[0] * x.shape[1] for x in seg)
+
+def test_autopilot_run_logged_kills_silent_child():
+    """The autopilot's watchdog must kill a child that hangs WITHOUT
+    printing (a dead tunneled-TPU RPC blocks silently — a blocking readline
+    loop would never notice)."""
+    import time
+
+    sys.path.insert(0, SCRIPTS)
+    import tpu_autopilot
+
+    t0 = time.time()
+    rc, out = tpu_autopilot.run_logged(
+        [sys.executable, "-c",
+         "import time; print('up', flush=True); time.sleep(600)"],
+        timeout=300, tag="t", silence_timeout=3)
+    assert rc == -9
+    assert "up" in out
+    assert time.time() - t0 < 60
+
+    # and a normal child passes its rc + output through
+    rc, out = tpu_autopilot.run_logged(
+        [sys.executable, "-c", "print('done'); raise SystemExit(7)"],
+        timeout=60, tag="t2", silence_timeout=30)
+    assert rc == 7
+    assert "done" in out
