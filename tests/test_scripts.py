@@ -481,3 +481,68 @@ def test_autopilot_run_logged_kills_silent_child():
         timeout=60, tag="t2", silence_timeout=30)
     assert rc == 7
     assert "done" in out
+
+def test_autopilot_state_machine(tmp_path, monkeypatch):
+    """The production retry loop end-to-end with scripted child outcomes:
+    crash-without-checkpoint -> fresh restart; gate-failure (rc 3) ->
+    --resume with extended --iterations; success -> promotion; exit 0 only
+    when converged AND promoted. argparse errors (rc 2) abort instead of
+    retry-looping."""
+    import json
+
+    sys.path.insert(0, SCRIPTS)
+    import tpu_autopilot
+
+    out = tmp_path / "campaign"
+    out.mkdir()
+    done = tmp_path / "AUTOPILOT_DONE.json"
+    monkeypatch.setattr(tpu_autopilot, "DONE_PATH", str(done))
+    monkeypatch.setattr(tpu_autopilot, "tpu_up", lambda timeout=90: True)
+    calls = []
+    outcomes = iter([
+        (-9, "tunnel died"),                       # crash, no checkpoint yet
+        (3, "CONVERGENCE GATE FAILED"),            # completed, not converged
+        (0, "convergence gate passed"),            # converged
+        (0, "artifacts promoted"),                 # refresh_artifact
+    ])
+
+    def fake_run_logged(cmd, timeout, tag, silence_timeout=1800):
+        rc, text = next(outcomes)
+        calls.append((tag, cmd, rc))
+        if "nuts_campaign.py" in cmd[1]:
+            if rc in (0, 3):                       # a completed run leaves
+                (out / "nuts_state.npz").write_bytes(b"x")   # state +
+                (out / "campaign_metadata.json").write_text(  # diagnostics
+                    json.dumps({"diagnostics": {
+                        "max_rhat": 1.2 if rc == 3 else 1.01,
+                        "max_rank_rhat": 1.2 if rc == 3 else 1.02,
+                        "min_ess": 1000.0}}))
+        return rc, text
+
+    monkeypatch.setattr(tpu_autopilot, "run_logged", fake_run_logged)
+    monkeypatch.setattr(tpu_autopilot.time, "sleep", lambda s: None)
+    rc = tpu_autopilot.main(["--skip-probes", "--out", str(out),
+                             "--iterations", "4000", "--extend-by", "2000",
+                             "--trace", "unused.npz"])
+    assert rc == 0
+    tags = [c[0] for c in calls]
+    assert tags == ["prod1", "prod2", "prod3", "promote"]
+    # attempt 1 crashed with no checkpoint -> attempt 2 is a FRESH restart
+    assert "--resume" not in calls[1][1]
+    assert "4000" in calls[1][1]
+    # attempt 2 failed the gate with a checkpoint -> attempt 3 resumes,
+    # extended by --extend-by
+    assert "--resume" in calls[2][1]
+    assert "6000" in calls[2][1]
+    summary = json.loads(done.read_text())
+    assert summary["status"] == "converged_and_promoted"
+    assert summary["stages"]["production_attempt_3"]["max_rhat"] == 1.01
+
+    # argparse error (rc 2) aborts the loop: not converged, exit 1
+    calls.clear()
+    outcomes = iter([(2, "usage: error")])
+    rc = tpu_autopilot.main(["--skip-probes", "--out", str(out / "x"),
+                             "--trace", "unused.npz"])
+    assert rc == 1
+    assert [c[0] for c in calls] == ["prod1"]
+    assert json.loads(done.read_text())["status"] == "not_converged"
