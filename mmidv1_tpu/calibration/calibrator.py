@@ -60,7 +60,7 @@ def calibrate(
     theta0: jnp.ndarray,
     key: jax.Array,
     *,
-    phase1: Optional[str] = "pso",             # "pso" | "hill" | None
+    phase1: Optional[str] = "auto",            # "auto" | "pso" | "hill" | None
     phase1_config=None,
     mh_config: Optional[MHConfig] = None,
     nuts_config: Optional[NUTSConfig] = None,
@@ -77,18 +77,19 @@ def calibrate(
     parameter manager; pure functions take the mode at construction).
     """
     algo = algorithm.lower()
-    if algo in ("pso", "psomcmc"):
-        phase1 = "pso"
-    elif algo in ("hill", "hillmcmc"):
-        phase1 = "hill"
-    elif algo == "nuts":
-        phase1 = None
-    else:
+    if algo not in ("pso", "psomcmc", "hill", "hillmcmc", "nuts"):
         raise ValueError(f"Unknown algorithm: {algorithm}. Valid: pso, psomcmc, "
                          "hill, hillmcmc, nuts")
-    run_mcmc = algo in ("psomcmc", "hillmcmc", "pso", "hill")
-    # note: like the reference, plain "pso"/"hill" still run the MCMC phase when
-    # an MH config is supplied; pass mh_config=None to skip.
+    if phase1 == "auto":
+        # derive from the reference's algorithm menu; an EXPLICIT phase1
+        # ("pso"/"hill"/None) overrides it (None = MCMC-only from theta0)
+        phase1 = {"pso": "pso", "psomcmc": "pso", "hill": "hill",
+                  "hillmcmc": "hill", "nuts": None}[algo]
+    elif phase1 not in ("pso", "hill", None):
+        raise ValueError(f"Unknown phase1: {phase1!r}. "
+                         "Valid: 'auto', 'pso', 'hill', None")
+    # note: like the reference, plain "pso"/"hill" still run the MCMC phase
+    # when an MH config is supplied; pass mh_config=None to skip.
     k1, k2 = jax.random.split(key)
 
     phase1_best = phase1_logl = phase1_cov = None
@@ -120,7 +121,7 @@ def calibrate(
     samples = sample_logls = None
     best_theta, best_logl = current, (phase1_logl if phase1_logl is not None
                                       else loglik_clamp(current))
-    if run_mcmc and mh_config is not None:
+    if mh_config is not None:
         init_cov = None
         if phase1_cov is not None:
             init_cov = condition_covariance(phase1_cov,

@@ -17,8 +17,9 @@ TPU-native re-design of ``HillClimbingOptimizer``
 - learned covariance returned for the Phase-2 MCMC warm start (:347)
 
 Documented deviations:
-- Both line-search ladders are evaluated as BATCHES (11 backtrack positions, 12
-  expansion positions) instead of sequential early-exit loops: the backtrack
+- Both line-search ladders are evaluated as BATCHES (10 backtrack positions
+  — steps 1..1/2^9, HillClimbingOptimizer.cpp:48 ``max_backtrack = 10`` — and
+  12 expansion positions) instead of sequential early-exit loops: the backtrack
   pick (largest improving step) is exactly the sequential result; the expansion
   walk takes the longest prefix of successive improvements along the
   (2^k - 1)-scaled ladder, which matches the moving-anchor crawl whenever no

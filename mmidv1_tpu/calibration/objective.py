@@ -20,7 +20,6 @@ whole swarm solves in one fused kernel launch (SURVEY.md section 3.2 note).
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Callable, Optional
 
@@ -31,11 +30,10 @@ import numpy as np
 from .. import constants as C
 from ..data.calibration_data import CalibrationData
 from ..models import sepaihrd
-from ..ode import fold_times_fixed, integrate_times
+from ..ode import fold_times_fixed
 from ..params import SEPAIHRDParams
 from .param_space import CLAMP, ParameterSpace
 
-_CUM_ROWS = np.array([C.D, C.CUMH, C.CUMICU])  # observation streams: D, CumH, CumICU
 # Observed stream order in CalibrationData.observed_streams(): (hosp, icu, deaths)
 # -> model rows (CumH, CumICU, D).
 _MODEL_ROWS_FOR_OBS = np.array([C.CUMH, C.CUMICU, C.D])
@@ -51,18 +49,6 @@ def make_time_grid(runup_days: float, num_days: int) -> np.ndarray:
     (reference ``main.cpp:241-256``; note the int cast of runup_days, and that the
     grid stays fixed even when runup_days is calibrated)."""
     return np.arange(-int(runup_days), num_days, dtype=np.float64)
-
-
-@dataclasses.dataclass(frozen=True)
-class ObjectiveSpec:
-    """Static configuration of the objective (host-side)."""
-
-    space: ParameterSpace
-    ts: np.ndarray                 # full time grid incl. run-up
-    runup_offset: int              # first index with ts >= 0
-    substeps: int = 4
-    tableau: str = "dopri5"
-    constraint_mode: str = CLAMP
 
 
 def build_objective(
@@ -186,6 +172,9 @@ def build_incidence_fn(
     ts = np.asarray(ts, dtype=np.float64)
     runup_offset = int(np.searchsorted(ts, 0.0, side="left"))
     num_obs = len(ts) - runup_offset
+    if num_obs != data.n_data_points:
+        raise ValueError(f"time grid has {num_obs} observation points but "
+                         f"data has {data.n_data_points}")
 
     if base_initial_state is None:
         base_initial_state = data.initial_sepaihrd_state(

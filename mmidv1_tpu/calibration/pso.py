@@ -106,6 +106,9 @@ class PSOConfig:
             quantum_beta=float(g("quantum_beta", 1.0)),
             levy_alpha=float(g("levy_alpha", 1.5)),
             max_stagnation=int(g("max_stagnation", 20)),
+            # beyond-reference convenience: the reference hard-codes
+            # keep_best_count = 3 (ParticleSwarmOptimizer.hpp:509)
+            elite_count=int(g("elite_count", 3)),
         )
 
 
@@ -184,7 +187,11 @@ def _evolutionary_factor(state: PSOState) -> jnp.ndarray:
     mean_d, max_d = jnp.mean(dist), jnp.max(dist)
     distance_factor = jnp.where(max_d > 0, mean_d / max_d, 0.0)
 
-    f = state.fitness
+    # floor infeasible fitness (build_objective returns finfo.min there)
+    # before the dispersion stats: two or more finfo.min entries overflow
+    # jnp.mean to -inf, which turns the factor into -inf and pins the
+    # adaptive parameters in the jumping-out regime for the whole run
+    f = jnp.maximum(state.fitness, jnp.asarray(-1e18, state.fitness.dtype))
     mean_f, max_f, min_f = jnp.mean(f), jnp.max(f), jnp.min(f)
     f_range = jnp.maximum(max_f - min_f, 1e-10)
     fitness_factor = (max_f - mean_f) / f_range
@@ -284,6 +291,9 @@ def pso_step(state: PSOState, key, it, cfg: PSOConfig, space: ParameterSpace,
                                 beta, lo, hi, keys[2])
         v_new = state.v
     elif cfg.variant == PSOVariant.LEVY_FLIGHT:
+        # gbest (NOT the topology's lbest) is deliberate reference parity:
+        # levyFlightUpdate receives gbest_position regardless of topology
+        # (ParticleSwarmOptimizer.cpp:387-388), unlike STANDARD/ADAPTIVE
         x_new, v_new = _standard_update(state.x, state.v, state.pbest_x,
                                         jnp.broadcast_to(state.gbest_x, (S, d)),
                                         omega, c1, c2, lo, hi, keys[2])
@@ -497,7 +507,12 @@ def run_pso(
         state, hist = jax.lax.scan(iteration, state0, (its, keys))
         mean = jnp.mean(state.pbest_x, axis=0)
         centered = state.pbest_x - mean
-        cov = (centered.T @ centered) / max(cfg.swarm_size - 1, 1)
+        # HIGHEST precision: TPU f32 matmuls multiply in bfloat16 by
+        # default (~1e-2 relative error), and this covariance seeds the
+        # phase-2 MCMC proposal (see param_space.apply's same rule)
+        cov = jnp.matmul(centered.T, centered,
+                         precision=jax.lax.Precision.HIGHEST) / \
+            max(cfg.swarm_size - 1, 1)
         return PSOResult(best_x=state.gbest_x, best_f=state.gbest_f,
                          final_cov=cov, history_best_f=hist, final_state=state)
 
