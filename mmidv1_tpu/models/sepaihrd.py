@@ -74,40 +74,11 @@ def force_of_infection(params: SEPAIHRDParams, y: jnp.ndarray, t) -> jnp.ndarray
 
 
 def rhs(t, y: jnp.ndarray, params: SEPAIHRDParams) -> jnp.ndarray:
-    """Time derivative of the (11, n_ages) SEPAIHRD state. Pure and jit/vmap/grad-safe."""
-    S_, E_, P_, A_, I_, H_, ICU_ = (y[C.S], y[C.E], y[C.P], y[C.A], y[C.I], y[C.H],
-                                    y[C.ICU])
-
-    lam = force_of_infection(params, y, t)
-
-    flow_SE = lam * S_
-    flow_EP = params.sigma * E_
-    flow_P_out = params.gamma_p * P_
-    flow_PA = params.p * flow_P_out
-    flow_PI = flow_P_out - flow_PA
-
-    flow_IH = params.h * I_
-    flow_IR = params.gamma_I * I_
-    flow_ID_comm = params.d_community * I_
-    I_out = flow_IR + flow_IH + flow_ID_comm
-
-    flow_H_ICU = params.icu * H_
-    H_out = params.gamma_H * H_ + params.d_H * H_ + flow_H_ICU
-    ICU_out = (params.gamma_ICU + params.d_ICU) * ICU_
-
-    dS = -flow_SE
-    dE = flow_SE - flow_EP
-    dP = flow_EP - flow_P_out
-    dA = flow_PA - params.gamma_A * A_
-    dI = flow_PI - I_out
-    dH = flow_IH - H_out
-    dICU = flow_H_ICU - ICU_out
-    dR = params.gamma_A * A_ + flow_IR + params.gamma_H * H_ + params.gamma_ICU * ICU_
-    dD = params.d_H * H_ + params.d_ICU * ICU_ + flow_ID_comm
-    dCumH = flow_IH
-    dCumICU = flow_H_ICU
-
-    return jnp.stack([dS, dE, dP, dA, dI, dH, dICU, dR, dD, dCumH, dCumICU])
+    """Time derivative of the (11, n_ages) SEPAIHRD state. Pure and
+    jit/vmap/grad-safe. Exactly :func:`rhs_frozen` with the schedule factor
+    evaluated at ``t`` — one flow body on purpose, so the equations cannot
+    drift between the schedule-aware and frozen paths."""
+    return rhs_frozen(t, y, params, beta_at(params, t) * kappa_at(params, t))
 
 
 def rhs_frozen(t, y: jnp.ndarray, params: SEPAIHRDParams, beta_eff) -> jnp.ndarray:
@@ -197,7 +168,8 @@ def solve(params: SEPAIHRDParams, y0: jnp.ndarray, ts, *, method="fixed",
 def state_names(n_ages: int) -> list[str]:
     """Flat state names matching ``AgeSEPAIHRDModel::getStateNames``
     (reference ``src/model/AgeSEPAIHRDModel.cpp:251-259``): S0..S3, E0..E3, ..."""
-    return [f"{comp}{i}" for comp in C.COMPARTMENTS for i in range(n_ages)]
+    from .results import state_names as _flat_names
+    return _flat_names(C.COMPARTMENTS, n_ages)
 
 
 def infer_initial_state(

@@ -100,6 +100,11 @@ def _binomial_chain_step(carry, key, p: SIRParams, h):
     k1, k2 = jax.random.split(key)
     new_I = jax.random.binomial(k1, S_int, pI)
     new_R = jax.random.binomial(k2, I_int, pR)
+    # Reference parity (SIR_stochastic.cpp:171-177): the step freezes when
+    # EITHER compartment empties — including the S == 0 case, where real
+    # dynamics would still recover the remaining infecteds. That is the
+    # reference's own quirk, reproduced deliberately; run_gillespie_sir is
+    # the exact-dynamics alternative (its recovery channel stays active).
     active = (I_int > 0) & (S_int > 0)
     S_next = jnp.where(active, jnp.maximum(S_int - new_I, 0.0), S)
     I_next = jnp.where(active, jnp.maximum(I_int + new_I - new_R, 0.0), I)
@@ -115,7 +120,11 @@ def run_stochastic_sir(p: SIRParams, y0, t_start, t_end, h, num_simulations,
     replacing the reference's serial per-simulation loop (:75-141).
     """
     steps = int(np.floor((t_end - t_start) / h))
-    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    # canonicalized: without jax_enable_x64 (the CLIs enable it) this is
+    # float32 — fine for the reference-scale populations; counts above 2^24
+    # need x64 for integer-exact binomials
+    import jax.dtypes
+    y0 = jnp.asarray(y0, dtype=jax.dtypes.canonicalize_dtype(jnp.float64))
 
     def one_sim(k):
         keys = jax.random.split(k, steps)
@@ -138,8 +147,10 @@ def run_gillespie_sir(p: SIRParams, y0, t_start, t_end, n_grid, num_simulations,
     Returns (num_simulations, n_grid, 3) with grid times
     ``linspace(t_start, t_end, n_grid)``.
     """
-    grid = jnp.linspace(t_start, t_end, n_grid)
-    y0 = jnp.asarray(y0, dtype=jnp.float64)
+    import jax.dtypes
+    dt64 = jax.dtypes.canonicalize_dtype(jnp.float64)   # see run_stochastic_sir
+    grid = jnp.linspace(t_start, t_end, n_grid, dtype=dt64)
+    y0 = jnp.asarray(y0, dtype=dt64)
 
     def one_sim(k):
         def cond(state):
@@ -259,7 +270,12 @@ def age_sir_rhs(t, y, p: AgeSIRParams):
     del t
     S, I, R = y[0], y[1], y[2]
     I_over_N = jnp.where(p.N > 1e-9, I / p.N, 0.0)
-    lam = jnp.maximum(p.q * (p.contact_matrix() @ I_over_N), 0.0)
+    # broadcast-multiply + sum, NOT a matmul: TPU f32 matmuls multiply in
+    # bfloat16 (~1e-3 relative noise in the force of infection); same rule
+    # as sepaihrd._contact_matvec, and cheaper on the VPU at A=4
+    lam = jnp.maximum(
+        p.q * jnp.sum(p.contact_matrix() * I_over_N[..., None, :], axis=-1),
+        0.0)
     dS = -lam * S
     dI = lam * S - p.gamma * I
     dR = p.gamma * I
@@ -312,5 +328,8 @@ def sir_incidence(p: AgeSIRParams, traj: jnp.ndarray) -> jnp.ndarray:
     (``SimulationResultProcessor::getIncidenceData``, :144-189)."""
     S, I = traj[:, 0], traj[:, 1]
     I_over_N = jnp.where(p.N > 1e-9, I / p.N, 0.0)
-    lam = jnp.maximum(p.q * (I_over_N @ p.contact_matrix().T), 0.0)
+    # exact contraction over ages per output row (see age_sir_rhs note)
+    lam = jnp.maximum(
+        p.q * jnp.sum(p.contact_matrix() * I_over_N[:, None, :], axis=-1),
+        0.0)
     return lam * S

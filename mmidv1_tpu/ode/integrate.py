@@ -119,10 +119,21 @@ def _advance_interval_adaptive(f, t0, t1, y0, dt0, atol, rtol, tab: Tableau,
 
         t_next = jnp.where(accept, t + dt_try, t)
         y_next = jax.tree_util.tree_map(lambda a, b: jnp.where(accept, a, b), y_new, y)
-        dt_next = jnp.where(accept, dt_inc, dt_dec)
+        # boost integrate_times restores the controller's dt memory after a
+        # landing step clamped to the output point: on success
+        # dt = max_abs(dt, current_dt) — without this the remembered step
+        # collapses to the output spacing at EVERY interval boundary and
+        # must regrow at <=4.5x per step
+        dt_next = jnp.where(accept, jnp.maximum(dt, dt_inc), dt_dec)
         return t_next, y_next, dt_next, n + 1
 
     t_f, y_f, dt_f, _n = jax.lax.while_loop(cond, body, (t0, y0, dt0, jnp.asarray(0)))
+    # max_steps exhausted without landing on t1 (boost throws here): poison
+    # the state with NaN so downstream likelihoods see an explicit failure
+    # instead of a plausible-looking stale trajectory
+    landed = t_f >= t1 - 1e-12 * jnp.maximum(jnp.abs(t1), 1.0)
+    y_f = jax.tree_util.tree_map(
+        lambda a: jnp.where(landed, a, jnp.full_like(a, jnp.nan)), y_f)
     return y_f, dt_f
 
 
@@ -140,6 +151,11 @@ def integrate_times(f, y0, ts, *, dt0=1.0, atol=1e-6, rtol=1e-6, method="dopri5"
     Returns an array of shape ``(len(ts),) + y0.shape`` with ``out[0] == y0``.
     """
     tab = get_tableau(method)
+    if tab.b_err is None:
+        raise ValueError(
+            f"tableau '{method}' has no embedded error estimate; the "
+            "adaptive controller would accept every step and grow dt "
+            "unboundedly — use it on the fixed-grid path instead")
     ts = jnp.asarray(ts)
     dtype = jnp.result_type(y0)
     dt0 = jnp.asarray(dt0, dtype=dtype)
@@ -263,6 +279,11 @@ def fold_times(f, y0, ts, fold, init, *, dt0=1.0, atol=1e-6, rtol=1e-6,
                interval_ctx=None):
     """Adaptive-stepping variant of :func:`fold_times_fixed`."""
     tab = get_tableau(method)
+    if tab.b_err is None:
+        raise ValueError(
+            f"tableau '{method}' has no embedded error estimate; the "
+            "adaptive controller would accept every step and grow dt "
+            "unboundedly — use it on the fixed-grid path instead")
     ts = jnp.asarray(ts)
     dtype = jnp.result_type(y0)
     dt0 = jnp.asarray(dt0, dtype=dtype)

@@ -21,7 +21,11 @@ class Tableau(NamedTuple):
     b: np.ndarray          # (s,) propagating weights (higher order)
     b_err: Optional[np.ndarray]  # (s,) b - b_lower for embedded error estimate
     order: int             # order of the propagated solution
-    error_order: int       # order of the embedded error estimate + 1
+    error_order: int       # boost's error_order_value for the stepper
+    #                        (explicit_error_stepper_base template arg:
+    #                        4 for dopri5/cash_karp/rkf45, 8 for fehlberg78
+    #                        — drives the reject-shrink exponent
+    #                        -1/(error_order-1) in the adaptive controller)
 
     @property
     def stages(self) -> int:
@@ -62,7 +66,7 @@ DOPRI5 = _tab(
     b=[35 / 384, 0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0],
     b_low=[5179 / 57600, 0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40],
     order=5,
-    error_order=5,
+    error_order=4,
 )
 
 # Cash-Karp 5(4) (``CashKarpSolverStrategy.cpp`` -> boost runge_kutta_cash_karp54)
@@ -80,7 +84,7 @@ CASH_KARP = _tab(
     b=[37 / 378, 0, 250 / 621, 125 / 594, 0, 512 / 1771],
     b_low=[2825 / 27648, 0, 18575 / 48384, 13525 / 55296, 277 / 14336, 1 / 4],
     order=5,
-    error_order=5,
+    error_order=4,
 )
 
 # Runge-Kutta-Fehlberg 7(8) (``FehlbergSolverStrategy.cpp`` ->
@@ -129,7 +133,7 @@ RKF45 = _tab(
     b=[16 / 135, 0, 6656 / 12825, 28561 / 56430, -9 / 50, 2 / 55],
     b_low=[25 / 216, 0, 1408 / 2565, 2197 / 4104, -1 / 5, 0],
     order=5,
-    error_order=5,
+    error_order=4,
 )
 
 # Classic RK4 (no embedded error): cheapest fixed-grid stepper.

@@ -194,11 +194,14 @@ def make_params(
             raise ValueError(f"{name} must be non-negative")
     for name, val in [("a", vec(a, 1.0)), ("h_infec", vec(h_infec, 1.0)),
                       ("h", vec(h, 0.0)), ("icu", vec(icu, 0.0)),
-                      ("d_H", vec(d_H, 0.0)), ("d_ICU", vec(d_ICU, 0.0))]:
+                      ("d_H", vec(d_H, 0.0)), ("d_ICU", vec(d_ICU, 0.0)),
+                      ("d_community", vec(d_community, 0.0))]:
         if np.any(val < 0):
             raise ValueError(f"{name} must be non-negative")
     if np.any(beta_values < 0) or not np.all(np.isfinite(beta_values)):
         raise ValueError("beta_values must be finite and non-negative")
+    if np.any(kappa_values < 0) or not np.all(np.isfinite(kappa_values)):
+        raise ValueError("kappa_values must be finite and non-negative")
 
     f = lambda x: _as_f(x, dtype)
     return SEPAIHRDParams(
