@@ -55,9 +55,13 @@ def reduced_ngm(params: SEPAIHRDParams, w: jnp.ndarray, t,
                 include_d_community: bool = False) -> jnp.ndarray:
     """The A x A reduced next-generation matrix K (w = N for R0, S(t) for Rt)."""
     b = beta_at(params, t) * kappa_at(params, t)
+    # empty age bands contribute NOTHING (reference
+    # ReproductionNumberCalculator.cpp zero-pop `continue`, same as
+    # full_ngm_matrices below) — dividing by a 1e-9 floor instead would
+    # inflate the column by ~1e9
+    inv_n = jnp.where(params.N > 1e-9, 1.0 / params.N, 0.0)
     T = (b * params.a[:, None] * params.M_baseline
-         * params.h_infec[None, :] * w[:, None]
-         / jnp.maximum(params.N[None, :], 1e-9))
+         * params.h_infec[None, :] * w[:, None] * inv_n[None, :])
     T = jnp.maximum(T, 0.0)
     return T * infection_duration_weights(params, include_d_community)[None, :]
 

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..params import SEPAIHRDParams, make_params
 from ..utils.exceptions import DataFormatException, FileIOException
+from ..utils.logging import get_logger
 
 
 def _clean_lines(path: str, where: str):
@@ -110,6 +111,15 @@ def read_sepaihrd_parameters_dict(path: str, num_age_classes: int) -> dict:
         # else: unrecognized name, skipped (reference logs a warning)
 
     def assemble(m: Dict[int, float]) -> list:
+        # schedule names are 1-based (beta_1..beta_8); a stray beta_0 /
+        # kappa_0 must be skipped with a warning (reference leniency), not
+        # written to dense[-1] where it would silently overwrite the LAST
+        # schedule value
+        bad = [i for i in m if i < 1]
+        for i in bad:
+            get_logger("config_io").warning(
+                f"ignoring schedule index {i} (schedule names are 1-based)")
+            m.pop(i)
         if not m:
             return []
         dense = [0.0] * max(m)

@@ -102,14 +102,13 @@ def run_mh_sharded(
                       offset=dev * b_local, _jit=False,
                       loglik_batch=loglik_batch)
 
-    in_specs = (P(), P(), _mh_state_specs(axis) if initial_state is not None
-                else None)
     if initial_state is None:
         fn = jax.shard_map(lambda t, k: local_run(t, k, None), mesh=mesh,
                            in_specs=(P(), P()), out_specs=_mh_result_specs(axis),
                            check_vma=False)
         return jax.jit(fn)(theta0, key)
-    fn = jax.shard_map(local_run, mesh=mesh, in_specs=in_specs,
+    fn = jax.shard_map(local_run, mesh=mesh,
+                       in_specs=(P(), P(), _mh_state_specs(axis)),
                        out_specs=_mh_result_specs(axis), check_vma=False)
     return jax.jit(fn)(theta0, key, initial_state)
 

@@ -43,9 +43,15 @@ def initialize(coordinator_address: Optional[str] = None,
     if coordinator_address is None and num_processes is None:
         try:
             import os
+            # every launcher jax.distributed auto-detects, not just TPU
+            # pods: gating on TPU vars alone would silently skip init under
+            # SLURM/Open MPI/GKE, leaving each host running an independent
+            # duplicate campaign (every is_primary() would be True)
             if not any(k in os.environ for k in
                        ("COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-                        "MEGASCALE_COORDINATOR_ADDRESS")):
+                        "MEGASCALE_COORDINATOR_ADDRESS",
+                        "JAX_COORDINATOR_ADDRESS", "SLURM_PROCID",
+                        "OMPI_COMM_WORLD_RANK", "PMI_RANK")):
                 return False      # single host, nothing to do
             jax.distributed.initialize()
         except Exception as e:   # noqa: BLE001 — single-host fallback

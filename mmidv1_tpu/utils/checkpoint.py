@@ -121,15 +121,21 @@ def write_posterior_trace(path: str, samples: np.ndarray,
         data, cols = samples, col_names
 
     # Native C++ writer when available (~20x on production-size traces);
-    # identical format either way.
+    # identical format either way. Written to a tmp file + atomic rename so
+    # a kill mid-write (the autopilot watchdog SIGKILLs hung children) can
+    # never truncate the previous complete trace (same discipline as
+    # _save_state_npz).
     from . import native
 
-    if native.write_trace_csv(path, ",".join(cols), data):
+    tmp = f"{path}.tmp.{os.getpid()}"
+    if native.write_trace_csv(tmp, ",".join(cols), data):
+        os.replace(tmp, path)
         return
-    with open(path, "w") as f:
+    with open(tmp, "w") as f:
         f.write("sample," + ",".join(cols) + "\n")
         for i, row in enumerate(data):
             f.write(str(i) + "".join(f",{v:.8e}" for v in row) + "\n")
+    os.replace(tmp, path)
 
 
 def make_checkpoint_progress_fn(out_dir: str, names: Sequence[str],

@@ -38,14 +38,26 @@ _tried = False
 
 def _build() -> bool:
     os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    # compile to a per-pid temp path and os.replace into place: concurrent
+    # processes (campaign + monitor) racing a rebuild must never dlopen a
+    # half-written ELF, and a FAILED rebuild must leave any previous
+    # still-working library on disk
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError) as e:
         get_logger("native").warning(
-            f"native IO build failed ({e}); using pure-Python fallbacks")
-        return False
+            f"native IO build failed ({e}); "
+            + ("reusing the existing library" if os.path.exists(_LIB)
+               else "using pure-Python fallbacks"))
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return os.path.exists(_LIB)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -88,8 +100,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
 
 def _check(code: int, where: str, path: str) -> None:
     if code != 0:
-        from .exceptions import CSVReadError, CSVReadException
+        from .exceptions import (CSVReadError, CSVReadException,
+                                 FileIOException)
 
+        if code == 5:
+            # WRITE_ERROR is an IO failure (disk full, permissions), not a
+            # parse problem — the read taxonomy would send triage to the
+            # wrong subsystem
+            raise FileIOException(where, f"WRITE_ERROR: {path}")
         kind = {1: CSVReadError.FILE_OPEN, 2: CSVReadError.NOT_ENOUGH_ROWS,
                 3: CSVReadError.NOT_ENOUGH_COLUMNS,
                 4: CSVReadError.INVALID_NUMBER_FORMAT}.get(

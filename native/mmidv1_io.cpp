@@ -81,6 +81,11 @@ extern "C" {
 
 // Parse an R x C numeric CSV into out (row-major, length rows*cols).
 // Skips "//" comment lines and blank lines (ReadContactMatrix.cpp:8-83).
+// STRICTER than the Python contact_matrix reader by design: extra rows or
+// columns are hard errors here (the Python path truncates to R x C, and
+// treats interior // lines as parse errors). The strict form is the one
+// wired into tests; do not swap it under data/contact_matrix.py without
+// relaxing these checks to match.
 int32_t mmidv1_read_csv_matrix(const char* path, int64_t rows, int64_t cols,
                                double* out) {
   std::string buf;
@@ -164,7 +169,10 @@ int32_t mmidv1_read_csv_table(const char* path, const int64_t* col_idx,
   while (p < end) {
     const char* le;
     const char* nxt = next_line(p, end, &le);
-    if (!is_blank(p, le)) {
+    // skip comment lines too: mmidv1_count_csv excludes them from the row
+    // count, and a leading // line would otherwise consume the skip_header
+    // budget and shift every data row by one
+    if (!is_blank(p, le) && !is_comment(p, le)) {
       if (line_no++ < skip_header) {
         p = nxt;
         continue;

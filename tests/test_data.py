@@ -184,3 +184,21 @@ def test_from_arrays_validation():
             new_confirmed=np.zeros((5, 4)), new_hospitalizations=np.zeros((5, 3)),
             new_icu=np.zeros((5, 4)), new_deaths=np.zeros((5, 4)),
             population_by_age=[1e6] * 4)
+
+
+def test_schedule_index_zero_skipped_with_warning(tmp_path):
+    """A stray 1-based-violating beta_0 line must be SKIPPED (reference
+    leniency), not written to dense[-1] where it would silently overwrite
+    the last schedule value."""
+    src = os.path.join(DATA, "configuration", "initial_guess.txt")
+    text = open(src).read()
+    p = tmp_path / "guess.txt"
+    p.write_text(text + "\nbeta_0 99.0\nkappa_0 77.0\n")
+    ref = read_sepaihrd_parameters(src, 4, N=[1e6] * 4,
+                                   M_baseline=np.ones((4, 4)))
+    got = read_sepaihrd_parameters(str(p), 4, N=[1e6] * 4,
+                                   M_baseline=np.ones((4, 4)))
+    np.testing.assert_array_equal(np.asarray(got.beta_values),
+                                  np.asarray(ref.beta_values))
+    np.testing.assert_array_equal(np.asarray(got.kappa_values),
+                                  np.asarray(ref.kappa_values))

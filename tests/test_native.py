@@ -112,3 +112,15 @@ def test_calibration_data_out_of_range_malformed_rows_ignored(tmp_path):
                   + "\n")
     with pytest.raises(DataFormatException):
         CalibrationData.from_csv(str(p2), "2020-03-01", "2020-06-30")
+
+
+@needs_native
+def test_table_reader_skips_comment_lines(tmp_path):
+    """count_csv and read_csv_table must agree on // comment lines: a
+    leading comment previously consumed the skip_header budget and shifted
+    every data row by one."""
+    p = tmp_path / "c.csv"
+    p.write_text("// provenance comment\na,b\n1,2\n3,4\n")
+    t = native.read_csv_table(str(p), [0, 1], skip_header=1)
+    assert t is not None
+    np.testing.assert_array_equal(t, [[1.0, 2.0], [3.0, 4.0]])
