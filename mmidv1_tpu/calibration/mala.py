@@ -172,10 +172,16 @@ def mala_step(state: MALAState, step_key: jax.Array, space: ParameterSpace,
     L = state.chol
 
     def drift(grad):
-        return 0.5 * (grad @ state.cov.T)                       # C grad (B, d)
+        # HIGHEST precision — the accept ratio evaluates the EXACT
+        # Gaussian q-density of this drift+noise kernel; a bf16-rounded
+        # matmul would realize a slightly different kernel than log_q
+        # assumes (detailed-balance bias)
+        return 0.5 * jnp.matmul(grad, state.cov.T,
+                                precision=jax.lax.Precision.HIGHEST)
 
     mean_fwd = state.x + eps ** 2 * drift(state.grad)
-    proposal = mean_fwd + eps * (z @ L.T)
+    proposal = mean_fwd + eps * jnp.matmul(
+        z, L.T, precision=jax.lax.Precision.HIGHEST)
 
     logp_prop, grad_prop = eval_batch(proposal)
     mean_rev = proposal + eps ** 2 * drift(grad_prop)
@@ -190,7 +196,8 @@ def mala_step(state: MALAState, step_key: jax.Array, space: ParameterSpace,
     log_ratio = (logp_prop - state.logp
                  + log_q(state.x, mean_rev, eps)
                  - log_q(proposal, mean_fwd, eps))
-    accept = (log_ratio >= 0) | (jnp.log(u) < log_ratio)
+    # u clamped away from 0: log(0) = -inf would accept unconditionally
+    accept = (log_ratio >= 0) | (jnp.log(jnp.maximum(u, 1e-12)) < log_ratio)
 
     x = jnp.where(accept[:, None], proposal, state.x)
     logp = jnp.where(accept, logp_prop, state.logp)
@@ -222,7 +229,8 @@ def adapt_preconditioner(state: MALAState, cfg: MALAConfig) -> MALAState:
     centered = state.x - mean
     # max(B-1, 1): a single-chain ensemble would otherwise produce a 0/0 NaN
     # covariance that poisons the Langevin drift permanently.
-    cov = (centered.T @ centered) / max(B - 1, 1)
+    cov = jnp.matmul(centered.T, centered,
+                     precision=jax.lax.Precision.HIGHEST) / max(B - 1, 1)
     cov = cov + cfg.regularization_epsilon * jnp.eye(d, dtype=state.x.dtype)
     chol, ok = _safe_cholesky(cov, cfg.regularization_epsilon, state.chol)
     # Commit cov only when the factorization succeeded, so a fallback keeps

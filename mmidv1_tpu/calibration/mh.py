@@ -260,12 +260,18 @@ def mh_step(state: MHState, step_key: jax.Array, space: ParameterSpace,
         proposal = state.x + (scale * gamma[:, None]) * diff + jit_e
         proposal = jnp.where(active[:, None], proposal, state.x)
     else:
-        proposal = state.x + scale * (z @ state.chol.T)
+        # HIGHEST precision: TPU f32 matmuls multiply in bfloat16 by
+        # default, which would distort the proposal kernel relative to
+        # the adapted Cholesky factor (see param_space.apply's rule)
+        proposal = state.x + scale * jnp.matmul(
+            z, state.chol.T, precision=jax.lax.Precision.HIGHEST)
     proposal = jax.vmap(space.reflect)(proposal)
 
     logp_prop = safe_logp(loglik_batch(proposal))
     log_ratio = logp_prop - state.logp
-    log_u = jnp.log(u)
+    # clamp: f32 uniform hits exactly 0 ~2^-23/draw; log(0) = -inf
+    # would unconditionally accept arbitrarily bad proposals
+    log_u = jnp.log(jnp.maximum(u, 1e-12))
     accept = (log_ratio >= 0) | (log_u < log_ratio)
     if active is not None:
         # frozen half: proposal == state.x would self-accept and pollute the
@@ -308,13 +314,17 @@ def adapt_covariance(state: MHState, cfg: MHConfig,
         B = B_local
         mean = jnp.mean(state.x, axis=0)
         centered = state.x - mean
-        cov = (centered.T @ centered) / (B - 1)
+        cov = jnp.matmul(centered.T, centered,
+                         precision=jax.lax.Precision.HIGHEST) / (B - 1)
     else:
         n_dev = jax.lax.psum(1, axis_name)
         B = B_local * n_dev
         mean = jax.lax.psum(jnp.sum(state.x, axis=0), axis_name) / B
         centered = state.x - mean
-        cov = jax.lax.psum(centered.T @ centered, axis_name) / (B - 1)
+        cov = jax.lax.psum(
+            jnp.matmul(centered.T, centered,
+                       precision=jax.lax.Precision.HIGHEST),
+            axis_name) / (B - 1)
     cov = (2.38 ** 2 / d) * cov + cfg.regularization_epsilon * jnp.eye(d, dtype=dtype)
     chol, _ok = _safe_cholesky(cov, cfg.regularization_epsilon, state.chol)
     return state._replace(cov=cov, chol=chol)
@@ -442,6 +452,11 @@ def make_mh_runner(space: ParameterSpace, cfg: MHConfig, loglik_batch: Callable,
                 return 0
             jax.lax.cond((block_idx + 1) % report_every == 0, report,
                          lambda s: 0, state)
+        if not cfg.store_samples:
+            # store_samples=0 (mcmc_settings.txt): optimization-only runs
+            # keep the MAP/acceptance state but no (n_blocks, B, d) history
+            # — at 8192 chains x 10k iterations that history is ~GBs of HBM
+            return state, (state.x[:0], state.logp[:0])
         return state, (state.x, state.logp)
 
     def run(state0, k_run):

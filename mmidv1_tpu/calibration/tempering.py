@@ -202,7 +202,7 @@ def pt_mh_step(state: PTState, step_key: jax.Array, space: ParameterSpace,
 
     logp_prop = safe_logp(loglik_batch(proposal.reshape(K * N, d))).reshape(K, N)
     log_ratio = betas[:, None] * (logp_prop - state.logp)
-    accept = (log_ratio >= 0) | (jnp.log(u) < log_ratio)
+    accept = (log_ratio >= 0) | (jnp.log(jnp.maximum(u, 1e-12)) < log_ratio)
 
     x = jnp.where(accept[..., None], proposal, state.x)
     logp = jnp.where(accept, logp_prop, state.logp)
@@ -244,7 +244,7 @@ def pt_swap_step(state: PTState, swap_key: jax.Array, betas: jnp.ndarray,
     dbeta = (betas[:-1] - betas[1:])[:, None]                # (K-1, 1)
     log_alpha = dbeta * dlogp
     pair_on = (jnp.arange(K - 1) % 2) == (parity % 2)        # (K-1,)
-    accept = ((log_alpha >= 0) | (jnp.log(u) < log_alpha)) & pair_on[:, None]
+    accept = ((log_alpha >= 0) | (jnp.log(jnp.maximum(u, 1e-12)) < log_alpha)) & pair_on[:, None]
 
     p_pair = jnp.mean(jnp.exp(jnp.minimum(log_alpha, 0.0)), axis=1)  # (K-1,)
     swap_prob = jnp.where(pair_on,
@@ -284,6 +284,11 @@ def pt_adapt_ladder(state: PTState, cfg: PTConfig) -> PTState:
     # steps, which advance swap_every times per sweep
     t = (state.step // max(1, cfg.swap_every)).astype(dtype)
     gain = cfg.ladder_kappa * cfg.ladder_t0 / (t + cfg.ladder_t0)
+    # hold adaptation until BOTH swap parities have been attempted at least
+    # once: before that, the not-yet-tried pairs' EMA still carries its 0.0
+    # initialization and the near-maximal early gain would distort the
+    # ladder from fabricated zero swap probabilities
+    gain = jnp.where(t >= 2.0, gain, 0.0)
     s = state.ladder_s + gain * (state.swap_prob
                                  - jnp.mean(state.swap_prob))
     t_max = 1.0 / state.betas[-1]   # hottest endpoint stays pinned
@@ -343,18 +348,16 @@ def run_pt(
                                reg_eps=cfg.regularization_epsilon,
                                betas=cfg.ladder(dtype))
 
-    run = make_pt_runner(space, cfg, loglik_batch, dtype=dtype)
+    run = make_pt_runner(space, cfg, loglik_batch)
     return run(state0, k_run)
 
 
 def make_pt_runner(space: ParameterSpace, cfg: PTConfig,
-                   loglik_batch: Callable, *, dtype=None,
+                   loglik_batch: Callable, *,
                    jit: bool = True) -> Callable:
     """Build the reusable jitted segment program ``(state0, key) -> PTResult``
     (the PT analogue of :func:`mh.make_mh_runner`; campaign drivers running
     many segments should build it once to avoid per-segment re-tracing)."""
-    if dtype is None:
-        dtype = jnp.float32
     thin = max(1, cfg.thinning)
     n_blocks = -(-cfg.iterations // thin)
     adapt_every_blocks = max(1, cfg.adaptation_period // thin)

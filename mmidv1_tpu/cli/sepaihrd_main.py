@@ -114,6 +114,9 @@ def main(argv=None) -> int:
     log.info(f"initial objective: {ll0:.6e}")
 
     t0 = time.perf_counter()
+    # mh_config is passed for 'pso'/'hill' too — reference parity: the menu
+    # maps pso == psomcmc and hill == hillmcmc to the same two-phase run
+    # (main.cpp:69-72, enum PSO_MCMC/HILL_MCMC)
     result = calibrate(loglik_clamp, loglik_reflect, pipe.space, theta0,
                        jax.random.PRNGKey(args.seed),
                        algorithm=args.algorithm,
@@ -152,9 +155,17 @@ def main(argv=None) -> int:
 
     # ---- post-calibration report (:498-563) --------------------------------
     if not args.skip_report and result.samples is not None:
+        # strip warm-up draws from the published posterior: stored samples
+        # cover ALL iterations (burn-in/adaptation included), and the report
+        # takes an ITERATION-axis burn_in (thinned units for MH)
+        rep_burn = (nuts_cfg.adaptation_window if args.algorithm == "nuts"
+                    else mh_cfg.burn_in // max(1, mh_cfg.thinning))
+        # tiny --scale smoke configs: never burn away the whole trace
+        rep_burn = min(rep_burn, max(0, np.asarray(result.samples).shape[0] - 1))
         rep = generate_full_report(
             np.asarray(result.samples), pipe.space, pipe.params, pipe.data,
             pipe.ts, out_dir, num_samples_for_ppc=args.ppc_samples,
+            burn_in=rep_burn,
             substeps=args.substeps, seed=args.seed)
         log.info(f"full report written under {out_dir} "
                  f"({rep['n_draws']} posterior draws)")

@@ -178,7 +178,7 @@ def main(argv=None) -> int:
                                  * args.thinning)
             start = int(np.asarray(state.step)) // steps_per_segment
             print(f"resuming PT campaign at step {int(np.asarray(state.step))}")
-        runner = make_pt_runner(space, pt_cfg, ll_b, dtype=dtype)
+        runner = make_pt_runner(space, pt_cfg, ll_b)
         res = None
         for s in range(start, args.segments):
             k_init, k_run = jax.random.split(
