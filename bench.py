@@ -43,7 +43,34 @@ def timed(fn, *args, reps=3):
     return float(np.median(times))
 
 
+def probe_device(timeout_s=120):
+    """Fail fast if the device backend is unreachable.
+
+    The axon TPU tunnel has two failure modes: a fast RuntimeError and a
+    silent HANG inside ``jax.devices()`` (observed 2026-08-17/18). Probing
+    in a subprocess with a timeout converts the hang into a clean error so
+    the driver's bench window isn't consumed by a dead tunnel.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        log(f"device probe HUNG (> {timeout_s}s): backend unreachable")
+        return False
+    if r.returncode != 0:
+        log("device probe failed: " + (r.stderr or "").strip().splitlines()[-1]
+            if (r.stderr or "").strip() else "device probe failed")
+        return False
+    return True
+
+
 def main():
+    if not os.environ.get("BENCH_SKIP_PROBE") and not probe_device():
+        log("aborting bench: no reachable device")
+        return 1
+
     import jax
     import jax.numpy as jnp
 
@@ -307,4 +334,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
