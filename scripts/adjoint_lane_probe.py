@@ -31,8 +31,10 @@ def main(argv=None) -> int:
                         "~30 ms tunnel dispatch)")
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--tableau", default="dopri5")
-    p.add_argument("--bwd", type=int, nargs="+", default=[512, 1024],
-                   help="bwd_block_b values to probe (lanes = value // 2)")
+    p.add_argument("--bwd", type=int, nargs="+", default=[512, 1024, 2048],
+                   help="bwd_block_b values to probe (lanes = value // 2); "
+                        "widths past 512 need the raised scoped-VMEM cap "
+                        "(ops/sepaihrd_adjoint.VMEM_LIMIT_BYTES)")
     args = p.parse_args(argv)
 
     import jax
