@@ -58,6 +58,21 @@ from .sepaihrd_pallas import (_EPS, _PARAM_ORDER, N_PARAM_ROWS, _rhs80,
 
 L_CHUNK = 24   # days per backward chunk (VMEM day-state scratch sizing)
 
+# Scoped-VMEM cap handed to Mosaic for both kernels (bytes; None = the
+# default 16 MB). Lane widths past the measured defaults (fwd 1024 / bwd 256
+# lanes) need headroom — scripts/adjoint_lane_probe.py raises this to probe
+# them. Read at TRACE time: set it before the first engine is built (the
+# jitted wrappers cache on static args, so a later change does not retrace).
+VMEM_LIMIT_BYTES = None
+
+
+def _compiler_params():
+    if VMEM_LIMIT_BYTES is None:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=int(VMEM_LIMIT_BYTES))
+
 # The adjoint kernels integrate the R-DROPPED 80-row state (see _rhs80): R
 # is absorbing, unobserved, and feeds nothing, so its value, day states, and
 # adjoint are all identically irrelevant. The 9% row cut on every day-state
@@ -336,6 +351,7 @@ def _fwd_call(y0_pack, param_pack, betarun_pack, M2, ov_t, ov_b, runmap, *,
         out_specs=(tile(2), tile(n_chunks * _ROWS)),
         out_shape=(jax.ShapeDtypeStruct((2, B2), dtype),
                    jax.ShapeDtypeStruct((n_chunks * _ROWS, B2), dtype)),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(y0_pack, param_pack, betarun_pack, M2, ov_t, ov_b, runmap)
     return ll, bounds
@@ -379,6 +395,7 @@ def _bwd_call(param_pack, betarun_pack, M2, ov_t, ov_b, bounds, g_ll,
                    jax.ShapeDtypeStruct((N_PARAM_ROWS, B2), dtype),
                    jax.ShapeDtypeStruct(betarun_pack.shape, dtype)),
         scratch_shapes=[pltpu.VMEM(((L_CHUNK + 1) * _ROWS, block_lanes), dtype)],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(param_pack, betarun_pack, M2, ov_t, ov_b, bounds, g_ll, runmap)
     return dy0, dparams, dbetarun

@@ -35,6 +35,10 @@ def main(argv=None) -> int:
                    help="bwd_block_b values to probe (lanes = value // 2); "
                         "widths past 512 need the raised scoped-VMEM cap "
                         "(ops/sepaihrd_adjoint.VMEM_LIMIT_BYTES)")
+    p.add_argument("--vmem-mb", type=int, default=96,
+                   help="scoped-VMEM cap (MiB) applied when probing widths "
+                        "past bwd_block_b=512 (v5e has 128 MiB physical; "
+                        "the Mosaic default budget is 16)")
     args = p.parse_args(argv)
 
     import jax
@@ -59,9 +63,15 @@ def main(argv=None) -> int:
     thetas = (mid[None, :] + 0.05 * space.sigmas[None, :] *
               jax.random.normal(key, (B, space.dim), dtype))
 
+    from mmidv1_tpu.ops import sepaihrd_adjoint
+
     results = {}
     outs = {}
     for bwd in args.bwd:
+        # the knob is read at trace time; each bwd width traces fresh
+        # (distinct block_lanes static arg), so flipping it per-width works
+        sepaihrd_adjoint.VMEM_LIMIT_BYTES = (
+            args.vmem_mb << 20 if bwd > 512 else None)
         vg = build_objective_pallas_grad(
             space, params, data, ts, substeps=args.substeps,
             tableau=args.tableau, constraint_mode=REFLECT, dtype=dtype,
