@@ -50,6 +50,15 @@ class NUTSConfig:
     adaptation_window: int = 5
     delta_target: float = 0.8
     max_tree_depth: int = 3
+    # Dual-averaging step clamps. On a float32 target whose evaluation
+    # noise floor already costs ~1 nat of Hamiltonian error per trajectory
+    # (measured: Spain-2020 Pallas engine, scripts/energy_error_probe.py —
+    # accept tops out at 0.78 for ANY small step), a delta_target above
+    # that ceiling makes the adaptation spiral the step toward zero
+    # (observed: 4e-4 and falling, mixing frozen). The floor bounds the
+    # spiral; pair it with delta_target at or below the measured ceiling.
+    eps_floor: float = 0.0
+    eps_ceil: float = float("inf")
 
     @classmethod
     def from_settings(cls, s: dict) -> "NUTSConfig":
@@ -57,7 +66,9 @@ class NUTSConfig:
         return cls(iterations=int(g("nuts_iterations", 25)),
                    adaptation_window=int(g("nuts_adaptation_window", 5)),
                    delta_target=float(g("nuts_delta_target", 0.8)),
-                   max_tree_depth=int(g("nuts_max_tree_depth", 3)))
+                   max_tree_depth=int(g("nuts_max_tree_depth", 3)),
+                   eps_floor=float(g("nuts_eps_floor", 0.0)),
+                   eps_ceil=float(g("nuts_eps_ceil", float("inf"))))
 
 
 class NUTSState(NamedTuple):
@@ -464,6 +475,7 @@ def run_nuts(
         eta = t ** (-kappa)
         log_eps_bar_new = eta * log_eps + (1 - eta) * log_eps_bar
         eps_new = jnp.where(in_window, jnp.exp(log_eps), jnp.exp(log_eps_bar))
+        eps_new = jnp.clip(eps_new, cfg.eps_floor, cfg.eps_ceil)
         h_bar = jnp.where(in_window, h_bar_new, h_bar)
         log_eps_bar = jnp.where(in_window, log_eps_bar_new, log_eps_bar)
 
@@ -655,3 +667,134 @@ def run_nuts_dense(
     return res._replace(samples=to_theta(res.samples),
                         best_x=space.reflect(mu + res.best_x @ S.T),
                         step_sizes=res.step_sizes)
+
+
+def logit_transform(theta, lower, upper, eps: float = 1e-6):
+    """Box -> R^d: ``y = logit((theta - lo) / width)``, clipping ``eps`` of
+    the width off each wall so on-the-wall draws (clamp-mode traces) map to
+    finite y. NumPy/JAX polymorphic."""
+    np_ = jnp if isinstance(theta, jnp.ndarray) else __import__("numpy")
+    w = np_.maximum(upper - lower, 1e-30)
+    u = np_.clip((theta - lower) / w, eps, 1.0 - eps)
+    return np_.log(u) - np_.log1p(-u)
+
+
+def run_nuts_logit(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    key: jax.Array,
+    cfg: NUTSConfig,
+    *,
+    mu: jnp.ndarray,
+    scale: jnp.ndarray,
+    n_chains: int = 1,
+    jitter: float = 1.0,
+    value_and_grad_batch: Optional[Callable] = None,
+    chain_sharding=None,
+    segments: int = 1,
+    init: Optional[jnp.ndarray] = None,
+    initial_state: Optional[NUTSState] = None,
+    on_segment: Optional[Callable] = None,
+) -> NUTSResult:
+    """:func:`run_nuts` in UNCONSTRAINED logit coordinates with a dense mass.
+
+    The box constraint is ELIMINATED rather than enforced:
+    ``theta = lo + width * sigmoid(y)`` maps R^d onto the open box, and the
+    log-Jacobian ``sum(log width + log sig + log(1 - sig))`` joins the
+    target, so the sampled theta-marginal law is exactly the bounded
+    posterior (change of variables; the reference's MCMC_REFLECT mode,
+    ``SEPAIHRDParameterManager.cpp`` reflectBound, achieves the same law by
+    folding — but folding leaves gradient discontinuities at the walls).
+
+    Why this exists (measured, campaign r9): the Spain-2020 posterior pins
+    NINE parameters against their bounds — ``p_1`` sits AT its upper bound
+    in 100% of draws; ``sigma``/``gamma_p``/``d_H_2``/... hug their lower
+    bounds at ~2e-4..2e-3 of their widths. Under clamp/reflect handling
+    every trajectory slams a wall, the leapfrog's energy error explodes
+    there, dual averaging crushes the step to ~4e-4 (whitened), and mixing
+    along the posterior's broad soft ridge freezes: split-R-hat stuck ~5.5
+    after 2000 iterations at depth 9. In logit coordinates the same
+    posterior is smooth everywhere — the walls become exponential tails
+    with O(1) scale in y — so the step size is set by the posterior's bulk
+    curvature instead of the wall collisions.
+
+    ``mu``/``scale``: dense mass in Y-space (``y = mu + scale @ z``),
+    estimated from a logit-transformed previous trace
+    (:func:`logit_transform`). ``init``: warm ensemble in THETA units.
+    Returned samples/best_x are in theta units and ``sample_logps`` are the
+    PURE log-likelihood (Jacobian removed), so diagnostics, reports and the
+    float64 MAP re-selection compare like-for-like with every other
+    sampler's trace.
+    """
+    dtype = jnp.asarray(mu).dtype
+    d = space.dim
+    lo = jnp.asarray(space.lower, dtype)
+    width = jnp.maximum(jnp.asarray(space.upper, dtype) - lo, 1e-30)
+    S = jnp.asarray(scale, dtype)
+    mu = jnp.asarray(mu, dtype)
+    inf = jnp.full((d,), jnp.inf, dtype)
+    z_space = dataclasses.replace(space, lower=-inf, upper=inf,
+                                  sigmas=jnp.ones((d,), dtype))
+    if value_and_grad_batch is None:
+        value_and_grad_batch = jax.vmap(jax.value_and_grad(loglik))
+    log_w_sum = jnp.sum(jnp.log(width))
+
+    def vag_z(zs):                      # zs: (B, d) -> y -> theta
+        ys = mu[None, :] + zs @ S.T
+        sig = jax.nn.sigmoid(ys)
+        th = lo[None, :] + width[None, :] * sig
+        lp, g = value_and_grad_batch(th)
+        # log|J| and its y-gradient in saturation-stable form:
+        # log sig + log(1-sig) = -softplus(-y) - softplus(y);
+        # d/dy = 1 - 2*sig  (-> -sign(y) in the tails, the restoring force)
+        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(ys) +
+                                  jax.nn.log_sigmoid(-ys), axis=-1)
+        gy = g * (width[None, :] * sig * (1.0 - sig)) + (1.0 - 2.0 * sig)
+        return lp + jac, gy @ S
+
+    def scalar_logp(z):
+        y = mu + S @ z
+        sig = jax.nn.sigmoid(y)
+        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(y) +
+                                  jax.nn.log_sigmoid(-y))
+        return loglik(lo + width * sig) + jac
+
+    if init is not None:
+        y0 = logit_transform(jnp.asarray(init, dtype), lo, width + lo)
+        z0 = jnp.linalg.solve(S, (y0 - mu[None, :]).T).T
+    else:
+        z0 = jnp.zeros((d,), dtype)
+
+    def to_theta(z):
+        return lo + width * jax.nn.sigmoid(mu + z @ S.T)
+
+    def pure_lp(theta, lp_with_jac):
+        """Strip the Jacobian using theta only (exact inverse of vag_z's
+        addition up to the transform's own clip, which only binds in the
+        saturated tail where theta is pinned to the wall anyway)."""
+        y = logit_transform(theta, lo, width + lo)
+        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(y) +
+                                  jax.nn.log_sigmoid(-y), axis=-1)
+        return lp_with_jac - jac
+
+    on_seg_z = None
+    if on_segment is not None:
+        def on_seg_z(st, xs, lps):
+            th = to_theta(xs)
+            on_segment(st, th, pure_lp(th, lps))
+
+    res = run_nuts(scalar_logp, z_space, z0, key, cfg,
+                   n_chains=n_chains, jitter=jitter,
+                   value_and_grad_batch=vag_z, chain_sharding=chain_sharding,
+                   segments=segments, initial_state=initial_state,
+                   on_segment=on_seg_z)
+    th_samples = to_theta(res.samples)
+    th_best = to_theta(res.best_x[None, :] if res.best_x.ndim == 1
+                       else res.best_x)
+    th_best = th_best[0] if res.best_x.ndim == 1 else th_best
+    return res._replace(
+        samples=th_samples,
+        sample_logps=pure_lp(th_samples, res.sample_logps),
+        best_x=th_best,
+        best_logp=pure_lp(th_best[None, :], res.best_logp[None])[0]
+        if res.best_logp.ndim == 0 else pure_lp(th_best, res.best_logp))

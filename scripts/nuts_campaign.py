@@ -39,6 +39,16 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", type=int, default=500,
                    help="dual-averaging adaptation window (iterations)")
     p.add_argument("--depth", type=int, default=6, help="max tree depth")
+    p.add_argument("--delta-target", type=float, default=0.8,
+                   help="dual-averaging acceptance target; set AT OR BELOW "
+                        "the f32 noise-floor acceptance (~0.78 measured on "
+                        "this posterior, scripts/energy_error_probe.py) or "
+                        "the adaptation spirals the step toward zero")
+    p.add_argument("--eps-floor", type=float, default=0.0,
+                   help="lower clamp on the adapted step (whitened units); "
+                        "bounds the noise-floor death spiral")
+    p.add_argument("--eps-ceil", type=float, default=float("inf"),
+                   help="upper clamp on the adapted step (whitened units)")
     p.add_argument("--segments", type=int, default=30,
                    help="split the run into this many device dispatches "
                         "(a monolithic dispatch holds one RPC deadline open "
@@ -48,7 +58,7 @@ def main(argv=None) -> int:
     p.add_argument("--jitter", type=float, default=1.0)
     p.add_argument("--mass", default="laplace-dense",
                    choices=["laplace-dense", "laplace", "posterior", "sigmas",
-                            "empirical-dense"],
+                            "empirical-dense", "logit-dense"],
                    help="mass matrix: 'laplace-dense' whitens by the "
                         "Cholesky factor of the full Laplace covariance at "
                         "the polished MAP (run_nuts_dense - the production "
@@ -67,7 +77,16 @@ def main(argv=None) -> int:
                         "sit at whitened radius ~50, not sqrt(d)=7.9), so "
                         "stage 1's real HMC samples are the right width "
                         "estimate (the AM-MH cloud was NOT - its width was "
-                        "init diffusion, PARITY.md round-2 addendum)")
+                        "init diffusion, PARITY.md round-2 addendum); "
+                        "'logit-dense' samples in UNCONSTRAINED logit "
+                        "coordinates (theta = lo + width*sigmoid(y)) with a "
+                        "dense mass on y estimated from --trace: the "
+                        "posterior pins nine parameters against their "
+                        "bounds (p_1 at 100%% of draws), which under "
+                        "clamp/reflect crushes the dual-averaged step to "
+                        "~4e-4 and freezes ridge mixing (r9: split-R-hat "
+                        "stuck ~5.5); eliminating the walls instead of "
+                        "enforcing them is the fix")
     p.add_argument("--trace", default=None,
                    help="samples.npz from a previous campaign (for "
                         "--mass empirical-dense)")
@@ -202,6 +221,34 @@ def main(argv=None) -> int:
               f"({flat_tr.shape[0]} draws; marginal-std range "
               f"{np.sqrt(np.diag(cov)).min():.2e}.."
               f"{np.sqrt(np.diag(cov)).max():.2e})")
+    elif args.mass == "logit-dense":
+        assert args.trace, "--mass logit-dense needs --trace samples.npz"
+        from mmidv1_tpu.calibration.nuts import logit_transform
+        tr = np.load(args.trace)
+        assert list(tr["names"]) == list(space.names)
+        lo_np = np.asarray(space.lower, np.float64)
+        hi_np = np.asarray(space.upper, np.float64)
+        flat_tr = tr["samples"].reshape(-1, space.dim).astype(np.float64)
+        y_tr = logit_transform(flat_tr, lo_np, hi_np)
+        mu_y = y_tr.mean(axis=0)
+        cov_emp = np.cov(y_tr, rowvar=False)
+        diag = np.diag(np.maximum(np.diag(cov_emp), 1e-24))
+        cov = 0.9 * cov_emp + 0.1 * diag
+        # wall-pinned parameters (clamped at the box edge in the source
+        # trace) transform to a near-constant y column whose empirical std
+        # is an artifact of the transform's clip; their true y-scale is the
+        # tail's O(1) exponential width — floor the marginal std so the
+        # whitening neither magnifies the direction ~1e4x nor freezes it
+        y_std_floor = 0.25
+        add = np.maximum(y_std_floor ** 2 - np.diag(cov), 0.0)
+        cov = cov + np.diag(add)
+        dense_scale = np.linalg.cholesky(cov)
+        print(f"mass matrix: logit-space dense covariance of {args.trace} "
+              f"({y_tr.shape[0]} draws; y-marginal-std range "
+              f"{np.sqrt(np.diag(cov)).min():.2e}.."
+              f"{np.sqrt(np.diag(cov)).max():.2e}; "
+              f"{int((add > 0).sum())} wall-pinned stds floored at "
+              f"{y_std_floor})")
 
     warm_init = None
     if args.warm:
@@ -216,7 +263,9 @@ def main(argv=None) -> int:
 
     cfg = NUTSConfig(iterations=args.iterations,
                      adaptation_window=args.warmup,
-                     max_tree_depth=args.depth)
+                     max_tree_depth=args.depth,
+                     delta_target=args.delta_target,
+                     eps_floor=args.eps_floor, eps_ceil=args.eps_ceil)
 
     # -- segment-level checkpointing: every completed segment persists the
     # sampler state + all samples so far, so a killed multi-hour run loses at
@@ -227,8 +276,8 @@ def main(argv=None) -> int:
     partial_path = os.path.join(args.out, "partial_samples.npz")
     prev_xs, prev_lps = [], []
     initial_state = None
-    if args.stages > 1 and args.mass not in ("laplace-dense",
-                                             "empirical-dense"):
+    DENSE_MODES = ("laplace-dense", "empirical-dense", "logit-dense")
+    if args.stages > 1 and args.mass not in DENSE_MODES:
         p.error("--stages > 1 requires a dense mass mode")
     if args.stages > 1 and (args.stage_iterations or
                             2 * args.warmup) <= args.warmup:
@@ -245,9 +294,9 @@ def main(argv=None) -> int:
         # state lives in z-coordinates of the dense mass); a whitened-mode
         # "resume" would silently restart from scratch and then substitute
         # the stale partial trace for the fresh samples
-        if args.mass not in ("laplace-dense", "empirical-dense"):
+        if args.mass not in DENSE_MODES:
             p.error("--resume requires a dense mass mode "
-                    "(laplace-dense / empirical-dense)")
+                    "(laplace-dense / empirical-dense / logit-dense)")
         if not os.path.exists(state_path):
             p.error(f"--resume: no checkpoint at {state_path}")
         seg_files = sorted(glob_mod.glob(seg_glob))
@@ -344,7 +393,52 @@ def main(argv=None) -> int:
                   flush=True)
 
     t0 = time.perf_counter()
-    if args.mass in ("laplace-dense", "empirical-dense"):
+    if args.mass == "logit-dense":
+        from mmidv1_tpu.calibration.nuts import run_nuts_logit
+        stage_iters = args.stage_iterations or 2 * args.warmup
+        for stage in range(args.stages - 1):
+            s_cfg = NUTSConfig(iterations=stage_iters,
+                               adaptation_window=args.warmup,
+                               max_tree_depth=args.depth,
+                               delta_target=args.delta_target,
+                               eps_floor=args.eps_floor,
+                               eps_ceil=args.eps_ceil)
+            res = run_nuts_logit(loglik, space,
+                                 jax.random.fold_in(
+                                     jax.random.PRNGKey(args.seed), stage + 1),
+                                 s_cfg, mu=jnp.asarray(mu_y, dtype),
+                                 scale=jnp.asarray(dense_scale, dtype),
+                                 n_chains=args.chains, jitter=args.jitter,
+                                 value_and_grad_batch=vag,
+                                 segments=max(1, args.segments
+                                              * stage_iters
+                                              // max(args.iterations, 1)),
+                                 init=warm_init)
+            jax.block_until_ready(res.samples)
+            draws = np.asarray(
+                res.samples[args.warmup:]).reshape(-1, space.dim)
+            y_draws = logit_transform(draws.astype(np.float64), lo_np, hi_np)
+            mu_y = y_draws.mean(axis=0)
+            cov_emp = np.cov(y_draws, rowvar=False)
+            dg = np.diag(np.maximum(np.diag(cov_emp), 1e-24))
+            cov_s = 0.9 * cov_emp + 0.1 * dg
+            cov_s += np.diag(np.maximum(0.25 ** 2 - np.diag(cov_s), 0.0))
+            dense_scale = np.linalg.cholesky(cov_s)
+            warm_init = np.asarray(res.samples[-1])
+            print(f"stage {stage + 1}/{args.stages}: logit-space mass "
+                  f"refreshed from {draws.shape[0]} draws (y-marginal-std "
+                  f"range {np.sqrt(np.diag(cov_s)).min():.2e}.."
+                  f"{np.sqrt(np.diag(cov_s)).max():.2e})", flush=True)
+        res = run_nuts_logit(loglik, space, jax.random.PRNGKey(args.seed),
+                             cfg, mu=jnp.asarray(mu_y, dtype),
+                             scale=jnp.asarray(dense_scale, dtype),
+                             n_chains=args.chains, jitter=args.jitter,
+                             value_and_grad_batch=vag,
+                             segments=args.segments,
+                             init=warm_init,
+                             initial_state=initial_state,
+                             on_segment=on_segment)
+    elif args.mass in ("laplace-dense", "empirical-dense"):
         # optional mass-refinement ladder: each pre-final stage runs a short
         # adaptation campaign, then the dense mass is re-estimated from ITS
         # post-warmup draws and the next stage warm-starts from its final
@@ -356,7 +450,10 @@ def main(argv=None) -> int:
         for stage in range(args.stages - 1):
             s_cfg = NUTSConfig(iterations=stage_iters,
                                adaptation_window=args.warmup,
-                               max_tree_depth=args.depth)
+                               max_tree_depth=args.depth,
+                               delta_target=args.delta_target,
+                               eps_floor=args.eps_floor,
+                               eps_ceil=args.eps_ceil)
             res = run_nuts_dense(loglik, space,
                                  jax.random.fold_in(
                                      jax.random.PRNGKey(args.seed), stage + 1),

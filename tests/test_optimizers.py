@@ -277,6 +277,64 @@ def test_nuts_dense_reflects_samples_into_bounds():
     assert 0.02 < s.reshape(-1, d).mean() < 0.2
 
 
+def test_nuts_logit_wall_pinned_target_law():
+    """Truncated exponential on [0, 1] with the mode AT the wall — the
+    Spain-2020 failure mode (nine wall-pinned parameters, r9) in miniature.
+    The logit sampler must (a) recover the analytic truncated moments, which
+    exercises the change-of-variables Jacobian (without it the y-marginal
+    law is visibly wrong: mean off by ~2x), and (b) keep an O(1) adapted
+    step where clamp/reflect handling collapses it."""
+    from mmidv1_tpu.calibration.nuts import run_nuts_logit
+    d = 2
+    space = _space(d, lo=0.0, hi=1.0, sigma=1.0)
+    tau = 0.1
+    loglik = lambda x: -jnp.sum(x) / tau
+    # analytic mean of Exp(tau) truncated to [0,1]
+    m = tau - np.exp(-1 / tau) / (1 - np.exp(-1 / tau))
+    cfg = NUTSConfig(iterations=600, adaptation_window=200, max_tree_depth=5)
+    # y-space mass: the transformed density's bulk sits near y ~ log(tau),
+    # scale O(1) — a unit mass centred there is the honest "previous trace"
+    res = run_nuts_logit(loglik, space, jax.random.PRNGKey(11), cfg,
+                         mu=jnp.full((d,), float(np.log(tau))),
+                         scale=jnp.eye(d), n_chains=8)
+    s = np.asarray(res.samples[200:]).reshape(-1, d)
+    assert (s >= 0.0).all() and (s <= 1.0).all()
+    np.testing.assert_allclose(s.mean(axis=0), m, rtol=0.15)
+    np.testing.assert_allclose(s.std(axis=0), tau, rtol=0.25)
+    assert float(np.median(np.asarray(res.step_sizes))) > 0.05
+    acc = float(np.mean(np.asarray(res.mean_accept)))
+    assert 0.3 < acc <= 1.0, acc
+
+
+def test_nuts_logit_pure_loglik_and_warm_init():
+    """sample_logps must be the PURE log-likelihood (Jacobian stripped), so
+    diagnostics and f64 MAP re-selection compare like-for-like with other
+    samplers; warm ensemble init in theta units round-trips through the
+    logit + dense-mass composition."""
+    from mmidv1_tpu.calibration.nuts import run_nuts_logit
+    d = 3
+    space = _space(d, lo=0.0, hi=2.0, sigma=1.0)
+    mu_th = jnp.asarray([0.5, 1.0, 1.5])
+    loglik = lambda x: -0.5 * jnp.sum(((x - mu_th) / 0.2) ** 2)
+    rng = np.random.default_rng(0)
+    init = np.clip(np.asarray(mu_th) + 0.2 * rng.normal(size=(6, d)),
+                   1e-3, 2.0 - 1e-3)
+    cfg = NUTSConfig(iterations=300, adaptation_window=100, max_tree_depth=4)
+    res = run_nuts_logit(loglik, space, jax.random.PRNGKey(8), cfg,
+                         mu=jnp.zeros(d), scale=jnp.eye(d),
+                         n_chains=6, init=jnp.asarray(init))
+    s = np.asarray(res.samples[100:])
+    lps = np.asarray(res.sample_logps[100:])
+    direct = np.asarray(jax.vmap(jax.vmap(loglik))(jnp.asarray(s)))
+    np.testing.assert_allclose(lps, direct, atol=1e-3)
+    flat = s.reshape(-1, d)
+    np.testing.assert_allclose(flat.mean(axis=0), np.asarray(mu_th), atol=0.1)
+    np.testing.assert_allclose(flat.std(axis=0), 0.2, rtol=0.3)
+    # best_logp is also jacobian-stripped
+    assert abs(float(res.best_logp) -
+               float(loglik(jnp.asarray(res.best_x)))) < 1e-3
+
+
 # --------------------------------------------------------------- calibrator
 
 def test_condition_covariance_semantics():
