@@ -131,9 +131,21 @@ def main(argv=None):
     p.add_argument("--extend-by", type=int, default=2000)
     p.add_argument("--trace", default=os.path.join(
         REPO, "results", "spain2020_nuts_r6", "samples.npz"))
+    p.add_argument("--warm", default=None,
+                   help="warm-start trace (defaults to --trace)")
     p.add_argument("--out", default=os.path.join(
         REPO, "results", "spain2020_nuts_r7"))
     p.add_argument("--skip-probes", action="store_true")
+    p.add_argument("--mass", default="empirical-dense",
+                   help="mass mode passed to nuts_campaign.py "
+                        "(logit-dense is the converging recipe: walls "
+                        "eliminated + step floored above the f32 noise "
+                        "spiral — see scripts/energy_error_probe.py)")
+    p.add_argument("--depth", type=int, default=0,
+                   help="production tree depth (0 = depth-probe result)")
+    p.add_argument("--delta-target", type=float, default=None)
+    p.add_argument("--eps-floor", type=float, default=None)
+    p.add_argument("--eps-ceil", type=float, default=None)
     args = p.parse_args(argv)
 
     deadline = time.time() + args.deadline_hours * 3600
@@ -167,8 +179,8 @@ def main(argv=None):
         checkpoint_summary()
 
     # ---- stage 2: depth probe -------------------------------------------
-    depth = 9
-    if not args.skip_probes and time.time() < deadline:
+    depth = args.depth or 9
+    if not args.skip_probes and not args.depth and time.time() < deadline:
         if not tpu_up():
             wait_for_tpu(args.poll_secs, deadline)
         probe_out = os.path.join(REPO, "results", "spain2020_nuts_rdepthprobe")
@@ -213,10 +225,16 @@ def main(argv=None):
                "--warmup", str(args.warmup),
                "--depth", str(depth),
                "--segments", str(args.segments),
-               "--mass", "empirical-dense",
-               "--trace", args.trace, "--warm", args.trace,
+               "--mass", args.mass,
+               "--trace", args.trace, "--warm", args.warm or args.trace,
                "--require-rhat", "1.05",
                "--out", args.out, "--bwd-block", str(bwd_block)]
+        if args.delta_target is not None:
+            cmd += ["--delta-target", str(args.delta_target)]
+        if args.eps_floor is not None:
+            cmd += ["--eps-floor", str(args.eps_floor)]
+        if args.eps_ceil is not None:
+            cmd += ["--eps-ceil", str(args.eps_ceil)]
         # no --report here: failed-gate attempts would each pay the full
         # analysis-tree cost, and the converged run's report is produced
         # once by refresh_artifact --report at promotion
