@@ -124,6 +124,16 @@ def _w(cond, x, y):
     return jnp.where(cond, x, y)
 
 
+def _mm(a, b):
+    """Mass-transform matmul at HIGHEST precision: the TPU's default-f32
+    matmul runs bf16 passes whose ~4e-3 relative noise on ``z @ S.T`` /
+    ``g @ S`` dominates the leapfrog's Hamiltonian error (measured: dH std
+    2.8 at eps=1e-3 on TPU vs 0.098 for the identical trajectory on CPU —
+    the whole NUTS acceptance gap; same trap as the AM/PT proposal matmuls,
+    OPS_ANALYSIS.md bf16 addendum)."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 class _Tree(NamedTuple):
     theta_minus: jnp.ndarray    # (B, d)
     r_minus: jnp.ndarray
@@ -641,8 +651,8 @@ def run_nuts_dense(
         value_and_grad_batch = jax.vmap(jax.value_and_grad(loglik))
 
     def vag_z(zs):                      # zs: (B, d)
-        lp, g = value_and_grad_batch(mu[None, :] + zs @ S.T)
-        return lp, g @ S
+        lp, g = value_and_grad_batch(mu[None, :] + _mm(zs, S.T))
+        return lp, _mm(g, S)
 
     if init is not None:
         # warm ensemble start at given theta positions: z = S^-1 (theta - mu).
@@ -652,20 +662,20 @@ def run_nuts_dense(
             S, (jnp.asarray(init, dtype) - mu[None, :]).T).T
     else:
         z0 = jnp.zeros((d,), dtype)
-    to_theta = lambda z: space.reflect(mu + z @ S.T)
+    to_theta = lambda z: space.reflect(mu + _mm(z, S.T))
     # the checkpoint state lives in z-coordinates (opaque to the caller;
     # valid only with the same mu/scale) — the callback gets theta samples
     on_seg_z = None
     if on_segment is not None:
         on_seg_z = lambda st, xs, lps: on_segment(st, to_theta(xs), lps)
-    res = run_nuts(lambda z: loglik(mu + S @ z), z_space,
+    res = run_nuts(lambda z: loglik(mu + _mm(S, z)), z_space,
                    z0, key, cfg,
                    n_chains=n_chains, jitter=jitter,
                    value_and_grad_batch=vag_z, chain_sharding=chain_sharding,
                    segments=segments, initial_state=initial_state,
                    on_segment=on_seg_z)
     return res._replace(samples=to_theta(res.samples),
-                        best_x=space.reflect(mu + res.best_x @ S.T),
+                        best_x=space.reflect(mu + _mm(res.best_x, S.T)),
                         step_sizes=res.step_sizes)
 
 
@@ -740,7 +750,7 @@ def run_nuts_logit(
     log_w_sum = jnp.sum(jnp.log(width))
 
     def vag_z(zs):                      # zs: (B, d) -> y -> theta
-        ys = mu[None, :] + zs @ S.T
+        ys = mu[None, :] + _mm(zs, S.T)
         sig = jax.nn.sigmoid(ys)
         th = lo[None, :] + width[None, :] * sig
         lp, g = value_and_grad_batch(th)
@@ -750,10 +760,10 @@ def run_nuts_logit(
         jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(ys) +
                                   jax.nn.log_sigmoid(-ys), axis=-1)
         gy = g * (width[None, :] * sig * (1.0 - sig)) + (1.0 - 2.0 * sig)
-        return lp + jac, gy @ S
+        return lp + jac, _mm(gy, S)
 
     def scalar_logp(z):
-        y = mu + S @ z
+        y = mu + _mm(S, z)
         sig = jax.nn.sigmoid(y)
         jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(y) +
                                   jax.nn.log_sigmoid(-y))
@@ -766,7 +776,7 @@ def run_nuts_logit(
         z0 = jnp.zeros((d,), dtype)
 
     def to_theta(z):
-        return lo + width * jax.nn.sigmoid(mu + z @ S.T)
+        return lo + width * jax.nn.sigmoid(mu + _mm(z, S.T))
 
     def pure_lp(theta, lp_with_jac):
         """Strip the Jacobian using theta only (exact inverse of vag_z's

@@ -62,6 +62,7 @@ def build_objective(
     tableau: str = "dopri5",
     constraint_mode: str = CLAMP,
     dtype=None,
+    compensated: bool = False,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Build ``loglik(theta) -> scalar`` (jit/vmap/shard-ready).
 
@@ -141,7 +142,8 @@ def build_objective(
 
         (ll, _comp, _), _yf = fold_times_fixed(f, y0, ts_j, fold_anchored, init,
                                                substeps=substeps, method=tableau,
-                                               interval_ctx=ctx)
+                                               interval_ctx=ctx,
+                                               compensated=compensated)
         bad = infeasible | jnp.isnan(ll) | jnp.isinf(ll)
         return jnp.where(bad, lowest(dtype), ll)
 

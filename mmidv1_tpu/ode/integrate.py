@@ -228,6 +228,61 @@ def _advance_interval_fixed(f, t0, t1, y, substeps: int, tab: Tableau):
     return y
 
 
+def _rk_increment(f, t, y, dt, tab: Tableau):
+    """The step INCREMENT ``sum_i (dt*b_i) k_i`` without adding it to ``y``.
+
+    Stage states still build on plain ``y`` (their O(eps_f32 * |y|)
+    perturbation only enters through the RHS, where it is harmless); keeping
+    the b-weighted combination separate is what lets the caller accumulate
+    it in compensated arithmetic."""
+    ks = []
+    for i in range(tab.stages):
+        yi = y
+        for j in range(i):
+            aij = float(tab.a[i, j])
+            if aij != 0.0:
+                yi = yi + (dt * aij) * ks[j]
+        ks.append(f(t + float(tab.c[i]) * dt, yi))
+    inc = jnp.zeros_like(y)
+    for i in range(tab.stages):
+        bi = float(tab.b[i])
+        if bi != 0.0:
+            inc = inc + (dt * bi) * ks[i]
+    return inc
+
+
+def _advance_interval_fixed_comp(f, t0, t1, y, c, substeps: int,
+                                 tab: Tableau):
+    """Kahan-compensated fixed advance: carries a compensation array ``c``
+    alongside ``y`` so the state accumulation over thousands of substeps is
+    effectively float64-quality in float32 storage.
+
+    Why: the Poisson objective differences CUMULATIVE state rows day by day
+    (``CumH``/``CumICU``/``D`` reach ~1e5-1e6 while daily increments are
+    ~1e2-1e4), so the plain running sum's O(eps_f32 * |y|) per-step roundoff
+    becomes the objective's ~0.1-nat evaluation noise floor — the direct
+    cap on HMC acceptance (OPS_ANALYSIS.md "step-size death spiral"). The
+    compensated sum reduces the ACCUMULATION error to O(eps_f32 * |inc|)
+    per step; the residual noise is then the RHS evaluations' own roundoff.
+    Cost: 3 extra elementwise ops per substep against 6-7 RHS evaluations
+    (<2% on the measured TPU profile). XLA does not re-associate floats, so
+    the compensation survives jit.
+    """
+    h = (t1 - t0) / substeps
+    offs = jnp.arange(substeps).astype(h.dtype) * h
+
+    def body(carry, dt_off):
+        y, c = carry
+        inc = _rk_increment(f, t0 + dt_off, y, h, tab)
+        t = inc - c
+        y_new = y + t
+        c_new = (y_new - y) - t
+        return (y_new, c_new), None
+
+    (y, c), _ = jax.lax.scan(body, (y, c), offs)
+    return y, c
+
+
 def integrate_times_fixed(f, y0, ts, *, substeps=4, method="dopri5",
                           interval_ctx=None):
     """Fixed-grid integration: ``substeps`` equal RK steps per output interval.
@@ -249,17 +304,39 @@ def integrate_times_fixed(f, y0, ts, *, substeps=4, method="dopri5",
 
 
 def fold_times_fixed(f, y0, ts, fold, init, *, substeps=4, method="dopri5",
-                     interval_ctx=None):
+                     interval_ctx=None, compensated=False):
     """Like :func:`integrate_times_fixed` but folds instead of stacking.
 
     ``fold(acc, i, y_i) -> acc`` is called for every output index i (including 0
     with ``y0``). Returns the final accumulator only — nothing trajectory-sized
     ever hits HBM. This is the fusion the C++ code approximates with its
     simulation cache + thread-local matrices (``SEPAIHRDObjectiveFunction.cpp``).
+
+    ``compensated=True`` carries a Kahan compensation array across the WHOLE
+    grid (:func:`_advance_interval_fixed_comp`), cutting the float32 state-
+    accumulation roundoff that otherwise dominates the objective's noise
+    floor. Non-FSAL path only (the compensated variant re-evaluates the
+    first stage each substep; production tableaus at substeps=4 measure
+    identical throughput).
     """
     tab = get_tableau(method)
     ts = jnp.asarray(ts)
     acc0 = fold(init, 0, y0)
+
+    if compensated:
+        def scan_fn_c(carry, x):
+            y, c, acc = carry
+            i, t_a, t_b, ctx = x
+            y_new, c_new = _advance_interval_fixed_comp(
+                _bind(f, ctx), t_a, t_b, y, c, substeps, tab)
+            acc = fold(acc, i, y_new)
+            return (y_new, c_new, acc), None
+
+        idx = jnp.arange(1, ts.shape[0])
+        (y_f, _c, acc), _ = jax.lax.scan(
+            scan_fn_c, (y0, jnp.zeros_like(y0), acc0),
+            (idx, ts[:-1], ts[1:], interval_ctx))
+        return acc, y_f
 
     def scan_fn(carry, x):
         y, acc = carry

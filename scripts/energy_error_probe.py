@@ -84,15 +84,17 @@ def main(argv=None) -> int:
     S_j = jnp.asarray(S, dtype)
     log_w_sum = jnp.sum(jnp.log(w_j))
 
+    from mmidv1_tpu.calibration.nuts import _mm
+
     def vag_z(zs):
-        ys = mu_j[None, :] + zs @ S_j.T
+        ys = mu_j[None, :] + _mm(zs, S_j.T)
         sig = jax.nn.sigmoid(ys)
         th = lo_j[None, :] + w_j[None, :] * sig
         lp, g = vag(th)
         jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(ys) +
                                   jax.nn.log_sigmoid(-ys), axis=-1)
         gy = g * (w_j[None, :] * sig * (1.0 - sig)) + (1.0 - 2.0 * sig)
-        return lp + jac, gy @ S_j
+        return lp + jac, _mm(gy, S_j)
 
     # start positions: final r9 ensemble (theta) -> z
     th0 = X[-1, :args.chains]

@@ -164,3 +164,55 @@ def test_vmap_batched_solve_consistency(spain_setup):
     for k in range(3):
         np.testing.assert_allclose(np.asarray(batch_traj[k]),
                                    np.asarray(solve_one(thetas[k])), rtol=1e-12)
+
+
+def test_compensated_fold_cuts_f32_accumulation_error():
+    """Kahan-compensated fixed path: float32 state accumulation over
+    thousands of substeps must land much closer to the float64 trajectory
+    than the plain path. Model: a linear inflow into a cumulative row that
+    grows to ~1e6 (the SEPAIHRD CumH/CumICU/D regime whose day-differencing
+    sets the objective's f32 noise floor — OPS_ANALYSIS.md)."""
+    import jax
+    from mmidv1_tpu.ode.integrate import fold_times_fixed
+
+    # y = [x, cum]: dx/dt = -0.03*x, dcum/dt = 0.03*x ; x0 = 1e6
+    def f(t, y):
+        return jnp.stack([-0.03 * y[0], 0.03 * y[0]])
+
+    ts64 = np.linspace(0.0, 300.0, 301)
+    fold = lambda acc, i, y: acc  # trajectory end state is the probe
+    out = {}
+    for dtype, comp in [(jnp.float64, False), (jnp.float32, False),
+                        (jnp.float32, True)]:
+        y0 = jnp.asarray([1e6, 0.0], dtype)
+        ts = jnp.asarray(ts64, dtype)
+        _, y_f = fold_times_fixed(f, y0, ts, fold, 0.0, substeps=8,
+                                  method="rk4", compensated=comp)
+        out[(str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+             comp)] = np.asarray(y_f, np.float64)
+    ref = out[("float64", False)]
+    err_plain = np.abs(out[("float32", False)] - ref).max()
+    err_comp = np.abs(out[("float32", True)] - ref).max()
+    # plain f32 drifts O(1) on a 1e6-scale state; compensation must cut the
+    # accumulation error by well over an order of magnitude
+    assert err_comp < err_plain / 10.0, (err_plain, err_comp)
+
+
+def test_compensated_fold_matches_plain_in_f64():
+    """In float64 the compensation is numerically inert at the test's
+    tolerance: same trajectory, same fold result."""
+    from mmidv1_tpu.ode.integrate import fold_times_fixed
+
+    def f(t, y):
+        return -0.5 * y + jnp.sin(t)
+
+    ts = jnp.linspace(0.0, 10.0, 41).astype(jnp.float64)
+    y0 = jnp.ones((3,), jnp.float64)
+    fold = lambda acc, i, y: acc + jnp.sum(y)
+    a, ya = fold_times_fixed(f, y0, ts, fold, jnp.float64(0.0),
+                             substeps=4, method="cash_karp")
+    b, yb = fold_times_fixed(f, y0, ts, fold, jnp.float64(0.0),
+                             substeps=4, method="cash_karp",
+                             compensated=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=1e-12)
