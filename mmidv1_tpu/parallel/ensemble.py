@@ -268,6 +268,41 @@ def run_nuts_gspmd(
                     chain_sharding=sharding)
 
 
+def run_nuts_logit_gspmd(
+    loglik: Callable[[jnp.ndarray], jnp.ndarray],
+    space: ParameterSpace,
+    key: jax.Array,
+    cfg,
+    *,
+    mu: jnp.ndarray,
+    scale: jnp.ndarray,
+    n_chains: int,
+    mesh: Optional[Mesh] = None,
+    jitter: float = 1.0,
+    value_and_grad_batch: Optional[Callable] = None,
+    init: Optional[jnp.ndarray] = None,
+):
+    """Logit-space dense-mass NUTS (the Spain-2020 production sampler,
+    :func:`mmidv1_tpu.calibration.nuts.run_nuts_logit`) with the chain axis
+    GSPMD-sharded over the mesh.
+
+    The logit transform and its Jacobian are elementwise in the chain axis
+    and the dense-mass matmuls contract only the (replicated) parameter
+    axis, so the whole wrapper partitions with zero collectives — same
+    argument as :func:`run_nuts_gspmd`."""
+    from jax.sharding import NamedSharding
+    from ..calibration.nuts import run_nuts_logit
+
+    if mesh is None:
+        mesh = ensemble_mesh()
+    check_divisible(n_chains, mesh, "n_chains")
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return run_nuts_logit(loglik, space, key, cfg, mu=mu, scale=scale,
+                          n_chains=n_chains, jitter=jitter,
+                          value_and_grad_batch=value_and_grad_batch,
+                          chain_sharding=sharding, init=init)
+
+
 def run_mala_gspmd(
     loglik: Callable[[jnp.ndarray], jnp.ndarray],
     space: ParameterSpace,
