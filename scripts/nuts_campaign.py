@@ -49,6 +49,14 @@ def main(argv=None) -> int:
                         "bounds the noise-floor death spiral")
     p.add_argument("--eps-ceil", type=float, default=float("inf"),
                    help="upper clamp on the adapted step (whitened units)")
+    p.add_argument("--posterior-burn-frac", type=float, default=0.5,
+                   help="fraction of POST-warmup draws additionally "
+                        "discarded from the reported posterior and its "
+                        "diagnostics (Vehtari et al. 2021 default: half) — "
+                        "warm-started chains still need forgetting time "
+                        "beyond the step-size window, and keeping the "
+                        "drift-contaminated head holds split-R-hat up by "
+                        "pure dilution long after the chains have mixed")
     p.add_argument("--segments", type=int, default=30,
                    help="split the run into this many device dispatches "
                         "(a monolithic dispatch holds one RPC deadline open "
@@ -530,8 +538,16 @@ def main(argv=None) -> int:
           f"/{args.depth}")
 
     os.makedirs(args.out, exist_ok=True)
-    samples = np.asarray(res.samples[args.warmup:])
-    logps = np.asarray(res.sample_logps[args.warmup:])
+    total_T = int(res.samples.shape[0])
+    burn = args.warmup + int(args.posterior_burn_frac
+                             * max(0, total_T - args.warmup))
+    burn = min(burn, max(total_T - 8, args.warmup))
+    if burn > args.warmup:
+        print(f"posterior: discarding {burn - args.warmup} post-warmup "
+              f"burn-in draws ({args.posterior_burn_frac:.0%} of "
+              f"{total_T - args.warmup}); keeping {total_T - burn}")
+    samples = np.asarray(res.samples[burn:])
+    logps = np.asarray(res.sample_logps[burn:])
     np.savez_compressed(os.path.join(args.out, "samples.npz"),
                         samples=samples, logps=logps,
                         names=np.array(list(space.names)))
