@@ -505,3 +505,27 @@ def test_iterative_tree_matches_recursive_reference():
                                            rtol=1e-5)
                 checked_stops += 1 - s_ref
     assert checked_stops > 0, "no early-stop case exercised"
+
+
+def test_nuts_eps_floor_bounds_adaptation():
+    """eps_floor/eps_ceil clamp the dual-averaged step: with an unreachable
+    acceptance target (delta_target=1.0 — every trajectory has some energy
+    error) the adaptation would spiral the step toward zero (the f32
+    noise-floor pathology, OPS_ANALYSIS.md); the floor must hold it."""
+    d = 2
+    space = _space(d, lo=-10.0, hi=10.0, sigma=1.0)
+    loglik = lambda x: -0.5 * jnp.sum(x ** 2)
+    floor = 0.05
+    cfg = NUTSConfig(iterations=150, adaptation_window=120, max_tree_depth=3,
+                     delta_target=1.0, eps_floor=floor)
+    res = run_nuts(loglik, space, jnp.zeros(d), jax.random.PRNGKey(1), cfg,
+                   n_chains=4)
+    eps = np.asarray(res.step_sizes)
+    assert (eps >= floor - 1e-7).all(), eps
+    # and the ceiling binds symmetrically (target 0.0 pushes eps upward)
+    cfg2 = NUTSConfig(iterations=80, adaptation_window=60, max_tree_depth=3,
+                      delta_target=0.0, eps_ceil=0.5)
+    res2 = run_nuts(loglik, space, jnp.zeros(d), jax.random.PRNGKey(2), cfg2,
+                    n_chains=4)
+    eps2 = np.asarray(res2.step_sizes)
+    assert (eps2 <= 0.5 + 1e-7).all(), eps2
