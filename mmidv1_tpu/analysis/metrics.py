@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from .. import constants as C
@@ -65,7 +66,8 @@ def essential_metrics(params: SEPAIHRDParams, traj: jnp.ndarray,
     beta_t = (params.beta if use_scalar_beta
               else beta_at(params, ts))                              # () or (T,)
     lam = (jnp.asarray(beta_t) * kappa_at(params, ts))[:, None] * \
-        (load @ params.M_baseline.T)                                 # (T, A)
+        jnp.matmul(load, params.M_baseline.T,
+                   precision=jax.lax.Precision.HIGHEST)              # (T, A)
     dt = jnp.concatenate([jnp.ones((1,), ts.dtype), jnp.diff(ts)])
     cum_infections = init_infections + jnp.sum(lam * S_t * dt[:, None], axis=0)
 

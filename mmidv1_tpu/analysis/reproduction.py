@@ -77,13 +77,16 @@ def spectral_radius(K: jnp.ndarray, iters: int = 64) -> jnp.ndarray:
     v0 = jnp.full(K.shape[:-2] + (A,), 1.0 / jnp.sqrt(A), dtype=K.dtype)
 
     def body(_, v):
-        w = jnp.einsum("...ij,...j->...i", K, v)
+        w = jnp.einsum("...ij,...j->...i", K, v,
+                       precision=jax.lax.Precision.HIGHEST)
         n = jnp.linalg.norm(w, axis=-1, keepdims=True)
         return jnp.where(n > 0, w / n, v)
 
     v = jax.lax.fori_loop(0, iters, body, v0)
-    Kv = jnp.einsum("...ij,...j->...i", K, v)
-    lam = jnp.einsum("...i,...i->...", v, Kv)
+    Kv = jnp.einsum("...ij,...j->...i", K, v,
+                    precision=jax.lax.Precision.HIGHEST)
+    lam = jnp.einsum("...i,...i->...", v, Kv,
+                     precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(lam, 0.0)
 
 

@@ -35,7 +35,8 @@ def condition_covariance(cov: jnp.ndarray, sigmas: jnp.ndarray) -> jnp.ndarray:
     evals, evecs = jnp.linalg.eigh(cov)
     min_var = jnp.min((0.1 * sigmas) ** 2)
     evals = jnp.maximum(evals, min_var)
-    floored = (evecs * evals[None, :]) @ evecs.T
+    floored = jnp.matmul(evecs * evals[None, :], evecs.T,
+                         precision=jax.lax.Precision.HIGHEST)
     inflated = floored * 4.0
     eps = 1e-8 * jnp.trace(inflated) / d
     return inflated + eps * jnp.eye(d, dtype=cov.dtype)
