@@ -397,7 +397,14 @@ def main(argv=None) -> int:
             r = split_rhat(acc[args.warmup:])
             worst = np.argsort(-r)[:3]
             stat = ", ".join(f"{space.names[j]} {r[j]:.2f}" for j in worst)
-            print(f"  [seg @ iter {int(state.it)}] worst split-R-hat: {stat}",
+            # the gate slice (post-warmup head burned): the full-trace number
+            # is dilution-biased low while chains still hold offsets — the
+            # burned window is what --require-rhat will actually see
+            nb = args.warmup + int(args.posterior_burn_frac
+                                   * (acc.shape[0] - args.warmup))
+            rb = split_rhat(acc[nb:]) if acc.shape[0] - nb > 20 else r
+            print(f"  [seg @ iter {int(state.it)}] worst split-R-hat: {stat}"
+                  f" | burned-window worst {float(np.max(rb)):.2f}",
                   flush=True)
 
     t0 = time.perf_counter()
