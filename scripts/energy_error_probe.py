@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--eps", type=float, nargs="+",
                    default=[2e-4, 1e-3, 3e-3, 6e-3, 1.2e-2])
     p.add_argument("--floor", type=float, default=0.25)
+    p.add_argument("--mass-file", default=None,
+                   help="precomputed logit-space mass .npz (mu/scale) — "
+                        "overrides the trace-derived mass")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -71,12 +74,17 @@ def main(argv=None) -> int:
 
     tr = np.load(args.trace)
     X = tr["samples"].astype(np.float64)
-    y_pool = logit_transform(X[X.shape[0] // 2:].reshape(-1, d), lo, hi)
-    mu_y = y_pool.mean(axis=0)
-    cov = np.cov(y_pool, rowvar=False)
-    cov = 0.9 * cov + 0.1 * np.diag(np.maximum(np.diag(cov), 1e-24))
-    cov += np.diag(np.maximum(args.floor ** 2 - np.diag(cov), 0.0))
-    S = np.linalg.cholesky(cov)
+    if args.mass_file:
+        mf = np.load(args.mass_file)
+        mu_y = mf["mu"].astype(np.float64)
+        S = mf["scale"].astype(np.float64)
+    else:
+        y_pool = logit_transform(X[X.shape[0] // 2:].reshape(-1, d), lo, hi)
+        mu_y = y_pool.mean(axis=0)
+        cov = np.cov(y_pool, rowvar=False)
+        cov = 0.9 * cov + 0.1 * np.diag(np.maximum(np.diag(cov), 1e-24))
+        cov += np.diag(np.maximum(args.floor ** 2 - np.diag(cov), 0.0))
+        S = np.linalg.cholesky(cov)
 
     lo_j = jnp.asarray(lo, dtype)
     w_j = jnp.asarray(width, dtype)

@@ -66,7 +66,7 @@ def main(argv=None) -> int:
     p.add_argument("--jitter", type=float, default=1.0)
     p.add_argument("--mass", default="laplace-dense",
                    choices=["laplace-dense", "laplace", "posterior", "sigmas",
-                            "empirical-dense", "logit-dense"],
+                            "empirical-dense", "logit-dense", "logit-file"],
                    help="mass matrix: 'laplace-dense' whitens by the "
                         "Cholesky factor of the full Laplace covariance at "
                         "the polished MAP (run_nuts_dense - the production "
@@ -95,6 +95,9 @@ def main(argv=None) -> int:
                         "~4e-4 and freezes ridge mixing (r9: split-R-hat "
                         "stuck ~5.5); eliminating the walls instead of "
                         "enforcing them is the fix")
+    p.add_argument("--mass-file", default=None,
+                   help="mass .npz with mu/scale in logit-y space (from "
+                        "scripts/make_capped_mass.py) for --mass logit-file")
     p.add_argument("--trace", default=None,
                    help="samples.npz from a previous campaign (for "
                         "--mass empirical-dense)")
@@ -257,6 +260,18 @@ def main(argv=None) -> int:
               f"{np.sqrt(np.diag(cov)).max():.2e}; "
               f"{int((add > 0).sum())} wall-pinned stds floored at "
               f"{y_std_floor})")
+    elif args.mass == "logit-file":
+        assert args.mass_file, "--mass logit-file needs --mass-file mass.npz"
+        lo_np = np.asarray(space.lower, np.float64)
+        hi_np = np.asarray(space.upper, np.float64)
+        mf = np.load(args.mass_file)
+        assert list(mf["names"]) == list(space.names)
+        mu_y = mf["mu"].astype(np.float64)
+        dense_scale = mf["scale"].astype(np.float64)
+        sd = np.sqrt((dense_scale ** 2).sum(axis=1))
+        print(f"mass matrix: precomputed logit-space factor {args.mass_file} "
+              f"(curvature-capped; y-marginal-std range "
+              f"{sd.min():.2e}..{sd.max():.2e})")
 
     warm_init = None
     if args.warm:
@@ -284,7 +299,8 @@ def main(argv=None) -> int:
     partial_path = os.path.join(args.out, "partial_samples.npz")
     prev_xs, prev_lps = [], []
     initial_state = None
-    DENSE_MODES = ("laplace-dense", "empirical-dense", "logit-dense")
+    DENSE_MODES = ("laplace-dense", "empirical-dense", "logit-dense",
+                   "logit-file")
     if args.stages > 1 and args.mass not in DENSE_MODES:
         p.error("--stages > 1 requires a dense mass mode")
     if args.stages > 1 and (args.stage_iterations or
@@ -408,7 +424,7 @@ def main(argv=None) -> int:
                   flush=True)
 
     t0 = time.perf_counter()
-    if args.mass == "logit-dense":
+    if args.mass in ("logit-dense", "logit-file"):
         from mmidv1_tpu.calibration.nuts import run_nuts_logit
         stage_iters = args.stage_iterations or 2 * args.warmup
         for stage in range(args.stages - 1):

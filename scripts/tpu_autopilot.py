@@ -143,6 +143,7 @@ def main(argv=None):
                         "spiral — see scripts/energy_error_probe.py)")
     p.add_argument("--depth", type=int, default=0,
                    help="production tree depth (0 = depth-probe result)")
+    p.add_argument("--mass-file", default=None)
     p.add_argument("--delta-target", type=float, default=None)
     p.add_argument("--eps-floor", type=float, default=None)
     p.add_argument("--eps-ceil", type=float, default=None)
@@ -229,6 +230,8 @@ def main(argv=None):
                "--trace", args.trace, "--warm", args.warm or args.trace,
                "--require-rhat", "1.05",
                "--out", args.out, "--bwd-block", str(bwd_block)]
+        if args.mass_file is not None:
+            cmd += ["--mass-file", args.mass_file]
         if args.delta_target is not None:
             cmd += ["--delta-target", str(args.delta_target)]
         if args.eps_floor is not None:
