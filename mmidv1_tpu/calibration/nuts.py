@@ -679,14 +679,28 @@ def run_nuts_dense(
                         step_sizes=res.step_sizes)
 
 
-def logit_transform(theta, lower, upper, eps: float = 1e-6):
-    """Box -> R^d: ``y = logit((theta - lo) / width)``, clipping ``eps`` of
-    the width off each wall so on-the-wall draws (clamp-mode traces) map to
-    finite y. NumPy/JAX polymorphic."""
+def logit_transform(theta, lower, upper, eps: float = 1e-6, power=1.0):
+    """Box -> R^d: the POWER-LOGIT bijection ``u = sigmoid(k*y)^(1/k)``
+    inverted, i.e. ``y = log(u) - (1/k) log(1 - u^k)`` with
+    ``u = (theta - lo) / width``, clipping ``eps`` of the width off each
+    wall so on-the-wall draws (clamp-mode traces) map to finite y.
+
+    ``power`` (k, scalar or per-parameter vector, default 1) selects the
+    transform family: k=1 is the standard logit; large k is LOG-LIKE over
+    the bulk (u < ~0.8) while still compactifying the upper wall. Why it
+    exists (measured, r12 trace): the beta_j*kappa_j NPI degeneracies are
+    perfectly straight in (log beta, log kappa) — quadratic fit removes
+    ~1% of the transverse width — but strongly banana-shaped under plain
+    logit (~80% removed), because logit's ``-log(1-u)`` term bends the
+    line in the mid-box region. A curved valley defeats any fixed dense
+    mass (the local stiff transverse rotates along the valley), so
+    straightening the coordinates is the fix, not more mass refinement.
+    NumPy/JAX polymorphic."""
     np_ = jnp if isinstance(theta, jnp.ndarray) else __import__("numpy")
     w = np_.maximum(upper - lower, 1e-30)
     u = np_.clip((theta - lower) / w, eps, 1.0 - eps)
-    return np_.log(u) - np_.log1p(-u)
+    k = power
+    return np_.log(u) - np_.log1p(-(u ** k)) / k
 
 
 def run_nuts_logit(
@@ -705,8 +719,10 @@ def run_nuts_logit(
     init: Optional[jnp.ndarray] = None,
     initial_state: Optional[NUTSState] = None,
     on_segment: Optional[Callable] = None,
+    power: Optional[jnp.ndarray] = None,
 ) -> NUTSResult:
-    """:func:`run_nuts` in UNCONSTRAINED logit coordinates with a dense mass.
+    """:func:`run_nuts` in UNCONSTRAINED power-logit coordinates with a
+    dense mass.
 
     The box constraint is ELIMINATED rather than enforced:
     ``theta = lo + width * sigmoid(y)`` maps R^d onto the open box, and the
@@ -742,6 +758,8 @@ def run_nuts_logit(
     width = jnp.maximum(jnp.asarray(space.upper, dtype) - lo, 1e-30)
     S = jnp.asarray(scale, dtype)
     mu = jnp.asarray(mu, dtype)
+    k = (jnp.ones((d,), dtype) if power is None
+         else jnp.asarray(power, dtype))
     inf = jnp.full((d,), jnp.inf, dtype)
     z_space = dataclasses.replace(space, lower=-inf, upper=inf,
                                   sigmas=jnp.ones((d,), dtype))
@@ -749,42 +767,48 @@ def run_nuts_logit(
         value_and_grad_batch = jax.vmap(jax.value_and_grad(loglik))
     log_w_sum = jnp.sum(jnp.log(width))
 
+    # power-logit forward pieces, saturation-stable:
+    #   u       = sigmoid(k y)^(1/k) = exp(log_sigmoid(k y) / k)
+    #   du/dy   = u * sigmoid(-k y)
+    #   log|J|  = log w + log_sigmoid(k y)/k + log_sigmoid(-k y)
+    #   dlogJ/dy= sigmoid(-k y) - k*sigmoid(k y)   (k=1: 1 - 2*sigmoid)
+    def _u_of(ys):
+        return jnp.exp(jax.nn.log_sigmoid(k * ys) / k)
+
     def vag_z(zs):                      # zs: (B, d) -> y -> theta
         ys = mu[None, :] + _mm(zs, S.T)
-        sig = jax.nn.sigmoid(ys)
-        th = lo[None, :] + width[None, :] * sig
+        u = _u_of(ys)
+        sig_m = jax.nn.sigmoid(-k * ys)
+        th = lo[None, :] + width[None, :] * u
         lp, g = value_and_grad_batch(th)
-        # log|J| and its y-gradient in saturation-stable form:
-        # log sig + log(1-sig) = -softplus(-y) - softplus(y);
-        # d/dy = 1 - 2*sig  (-> -sign(y) in the tails, the restoring force)
-        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(ys) +
-                                  jax.nn.log_sigmoid(-ys), axis=-1)
-        gy = g * (width[None, :] * sig * (1.0 - sig)) + (1.0 - 2.0 * sig)
+        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(k * ys) / k +
+                                  jax.nn.log_sigmoid(-k * ys), axis=-1)
+        gy = g * (width[None, :] * u * sig_m) +             (sig_m - k * jax.nn.sigmoid(k * ys))
         return lp + jac, _mm(gy, S)
 
     def scalar_logp(z):
         y = mu + _mm(S, z)
-        sig = jax.nn.sigmoid(y)
-        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(y) +
-                                  jax.nn.log_sigmoid(-y))
-        return loglik(lo + width * sig) + jac
+        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(k * y) / k +
+                                  jax.nn.log_sigmoid(-k * y))
+        return loglik(lo + width * _u_of(y)) + jac
 
     if init is not None:
-        y0 = logit_transform(jnp.asarray(init, dtype), lo, width + lo)
+        y0 = logit_transform(jnp.asarray(init, dtype), lo, width + lo,
+                             power=k)
         z0 = jnp.linalg.solve(S, (y0 - mu[None, :]).T).T
     else:
         z0 = jnp.zeros((d,), dtype)
 
     def to_theta(z):
-        return lo + width * jax.nn.sigmoid(mu + _mm(z, S.T))
+        return lo + width * _u_of(mu + _mm(z, S.T))
 
     def pure_lp(theta, lp_with_jac):
         """Strip the Jacobian using theta only (exact inverse of vag_z's
         addition up to the transform's own clip, which only binds in the
         saturated tail where theta is pinned to the wall anyway)."""
-        y = logit_transform(theta, lo, width + lo)
-        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(y) +
-                                  jax.nn.log_sigmoid(-y), axis=-1)
+        y = logit_transform(theta, lo, width + lo, power=k)
+        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(k * y) / k +
+                                  jax.nn.log_sigmoid(-k * y), axis=-1)
         return lp_with_jac - jac
 
     on_seg_z = None

@@ -34,6 +34,9 @@ def main(argv=None) -> int:
     p.add_argument("--eps", type=float, nargs="+",
                    default=[2e-4, 1e-3, 3e-3, 6e-3, 1.2e-2])
     p.add_argument("--floor", type=float, default=0.25)
+    p.add_argument("--power", default="1",
+                   help="'auto' or a number: power-logit exponent (see "
+                        "nuts_campaign.py --power)")
     p.add_argument("--mass-file", default=None,
                    help="precomputed logit-space mass .npz (mu/scale) — "
                         "overrides the trace-derived mass")
@@ -74,12 +77,22 @@ def main(argv=None) -> int:
 
     tr = np.load(args.trace)
     X = tr["samples"].astype(np.float64)
+    flat = X.reshape(-1, d)
+    if args.power == "auto":
+        u_hi = np.quantile((flat - lo) / width, 0.995, axis=0)
+        power_k = np.where(u_hi < 0.8, 8.0, 1.0)
+        print(f"power-logit: k=8 for {int((power_k > 1).sum())}/{d} params")
+    else:
+        power_k = np.full(d, float(args.power))
     if args.mass_file:
         mf = np.load(args.mass_file)
         mu_y = mf["mu"].astype(np.float64)
         S = mf["scale"].astype(np.float64)
+        if "power" in mf.files:
+            power_k = mf["power"].astype(np.float64)
     else:
-        y_pool = logit_transform(X[X.shape[0] // 2:].reshape(-1, d), lo, hi)
+        y_pool = logit_transform(X[X.shape[0] // 2:].reshape(-1, d), lo, hi,
+                                 power=power_k)
         mu_y = y_pool.mean(axis=0)
         cov = np.cov(y_pool, rowvar=False)
         cov = 0.9 * cov + 0.1 * np.diag(np.maximum(np.diag(cov), 1e-24))
@@ -93,20 +106,22 @@ def main(argv=None) -> int:
     log_w_sum = jnp.sum(jnp.log(w_j))
 
     from mmidv1_tpu.calibration.nuts import _mm
+    k_j = jnp.asarray(power_k, dtype)
 
     def vag_z(zs):
         ys = mu_j[None, :] + _mm(zs, S_j.T)
-        sig = jax.nn.sigmoid(ys)
-        th = lo_j[None, :] + w_j[None, :] * sig
+        u = jnp.exp(jax.nn.log_sigmoid(k_j * ys) / k_j)
+        sig_m = jax.nn.sigmoid(-k_j * ys)
+        th = lo_j[None, :] + w_j[None, :] * u
         lp, g = vag(th)
-        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(ys) +
-                                  jax.nn.log_sigmoid(-ys), axis=-1)
-        gy = g * (w_j[None, :] * sig * (1.0 - sig)) + (1.0 - 2.0 * sig)
+        jac = log_w_sum + jnp.sum(jax.nn.log_sigmoid(k_j * ys) / k_j +
+                                  jax.nn.log_sigmoid(-k_j * ys), axis=-1)
+        gy = g * (w_j[None, :] * u * sig_m) +             (sig_m - k_j * jax.nn.sigmoid(k_j * ys))
         return lp + jac, _mm(gy, S_j)
 
     # start positions: final r9 ensemble (theta) -> z
     th0 = X[-1, :args.chains]
-    y0 = logit_transform(th0, lo, hi)
+    y0 = logit_transform(th0, lo, hi, power=power_k)
     z0 = np.linalg.solve(S, (y0 - mu_y).T).T.astype(np.float32)
 
     @jax.jit

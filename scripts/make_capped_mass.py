@@ -51,6 +51,14 @@ def main(argv=None) -> int:
     p.add_argument("--floor", type=float, default=0.25,
                    help="y-marginal-std floor before capping (wall-pinned "
                         "columns)")
+    p.add_argument("--power", default="1",
+                   help="'auto' or a number: power-logit exponent (see "
+                        "nuts_campaign.py --power). With straightened "
+                        "valleys (power auto) the local Hessian's stiff "
+                        "directions are globally consistent, which is what "
+                        "makes curvature capping sound — under plain logit "
+                        "the banana's local transverse IS the global "
+                        "tangent elsewhere, and capping froze it (r13)")
     p.add_argument("--substeps", type=int, default=4)
     p.add_argument("--tableau", default="dopri5")
     args = p.parse_args(argv)
@@ -79,18 +87,28 @@ def main(argv=None) -> int:
                              dtype=jnp.float64)
     lo_j, w_j = jnp.asarray(lo), jnp.asarray(w)
 
+    tr = np.load(args.trace)
+    X = tr["samples"].astype(np.float64)
+    flat = X.reshape(-1, d)
+    if args.power == "auto":
+        u_hi = np.quantile((flat - lo) / w, 0.995, axis=0)
+        power_k = np.where(u_hi < 0.8, 8.0, 1.0)
+        print(f"power-logit: k=8 for {int((power_k > 1).sum())}/{d} params")
+    else:
+        power_k = np.full(d, float(args.power))
+    k_j = jnp.asarray(power_k)
+
     def logp_y(y):
-        sig = jax.nn.sigmoid(y)
-        jac = jnp.sum(jnp.log(w_j) + jax.nn.log_sigmoid(y) +
-                      jax.nn.log_sigmoid(-y))
-        return loglik(lo_j + w_j * sig) + jac
+        u = jnp.exp(jax.nn.log_sigmoid(k_j * y) / k_j)
+        jac = jnp.sum(jnp.log(w_j) + jax.nn.log_sigmoid(k_j * y) / k_j +
+                      jax.nn.log_sigmoid(-k_j * y))
+        return loglik(lo_j + w_j * u) + jac
 
     hess = jax.jit(jax.hessian(logp_y))
 
-    tr = np.load(args.trace)
-    X = tr["samples"].astype(np.float64)
     T, C = X.shape[:2]
-    y_pool = logit_transform(X[T // 2:].reshape(-1, d), lo, hi)
+    y_pool = logit_transform(X[T // 2:].reshape(-1, d), lo, hi,
+                             power=power_k)
     mu_y = y_pool.mean(axis=0)
     cov = np.cov(y_pool, rowvar=False)
     cov = 0.9 * cov + 0.1 * np.diag(np.maximum(np.diag(cov), 1e-24))
@@ -101,7 +119,7 @@ def main(argv=None) -> int:
     picks = np.argsort(-lp_last)[:args.points]
     H_list = []
     for ci in picks:
-        y0 = logit_transform(X[-1, ci], lo, hi)
+        y0 = logit_transform(X[-1, ci], lo, hi, power=power_k)
         H = np.asarray(hess(jnp.asarray(y0)))
         H_list.append(0.5 * (H + H.T))
 
@@ -125,7 +143,7 @@ def main(argv=None) -> int:
     print(f"capped directions (cumulative over sweeps): {total_capped}; "
           f"post-cap whitened curvature max {worst:.3f} "
           f"(target <= {args.cap ** 2:.3f})")
-    np.savez(args.out, mu=mu_y, scale=S_capped,
+    np.savez(args.out, mu=mu_y, scale=S_capped, power=power_k,
              names=np.array([str(n) for n in tr["names"]]))
     print(f"-> {args.out}")
     return 0

@@ -144,6 +144,8 @@ def main(argv=None):
     p.add_argument("--depth", type=int, default=0,
                    help="production tree depth (0 = depth-probe result)")
     p.add_argument("--mass-file", default=None)
+    p.add_argument("--power", default=None,
+                   help="power-logit selection passed to the campaign")
     p.add_argument("--delta-target", type=float, default=None)
     p.add_argument("--eps-floor", type=float, default=None)
     p.add_argument("--eps-ceil", type=float, default=None)
@@ -232,6 +234,8 @@ def main(argv=None):
                "--out", args.out, "--bwd-block", str(bwd_block)]
         if args.mass_file is not None:
             cmd += ["--mass-file", args.mass_file]
+        if args.power is not None:
+            cmd += ["--power", args.power]
         if args.delta_target is not None:
             cmd += ["--delta-target", str(args.delta_target)]
         if args.eps_floor is not None:

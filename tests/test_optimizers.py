@@ -529,3 +529,34 @@ def test_nuts_eps_floor_bounds_adaptation():
                     n_chains=4)
     eps2 = np.asarray(res2.step_sizes)
     assert (eps2 <= 0.5 + 1e-7).all(), eps2
+
+
+def test_nuts_power_logit_law_and_k1_compat():
+    """power=k vector: k=1 must reproduce the plain logit path bitwise;
+    k=8 (log-like bulk) must still sample the exact bounded law — the
+    Jacobian of u = sigmoid(k y)^(1/k) is the part under test."""
+    from mmidv1_tpu.calibration.nuts import run_nuts_logit
+    d = 2
+    space = _space(d, lo=0.0, hi=1.0, sigma=1.0)
+    tau = 0.1
+    loglik = lambda x: -jnp.sum(x) / tau
+    m = tau - np.exp(-1 / tau) / (1 - np.exp(-1 / tau))
+    cfg = NUTSConfig(iterations=400, adaptation_window=150, max_tree_depth=5)
+    key = jax.random.PRNGKey(13)
+    mu = jnp.full((d,), float(np.log(tau)))
+    a = run_nuts_logit(loglik, space, key, cfg, mu=mu, scale=jnp.eye(d),
+                       n_chains=8)
+    b = run_nuts_logit(loglik, space, key, cfg, mu=mu, scale=jnp.eye(d),
+                       n_chains=8, power=jnp.ones(d))
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    c = run_nuts_logit(loglik, space, key, cfg, mu=mu, scale=jnp.eye(d),
+                       n_chains=8, power=jnp.full((d,), 8.0))
+    s = np.asarray(c.samples[150:]).reshape(-1, d)
+    assert (s >= 0.0).all() and (s <= 1.0).all()
+    np.testing.assert_allclose(s.mean(axis=0), m, rtol=0.15)
+    np.testing.assert_allclose(s.std(axis=0), tau, rtol=0.25)
+    # pure-loglik invariant holds for k=8 too
+    lps = np.asarray(c.sample_logps[150:])
+    direct = np.asarray(jax.vmap(jax.vmap(loglik))(jnp.asarray(
+        np.asarray(c.samples[150:]))))
+    np.testing.assert_allclose(lps, direct, atol=2e-3)
