@@ -5,9 +5,19 @@ TPU-native re-design of the reference's hot path,
 (``src/model/objectives/SEPAIHRDObjectiveFunction.cpp:62-279``):
 
     theta -> constrain -> params -> initial state (run-up seeding / multipliers,
-    feasibility) -> ODE solve -> daily incidence = diff of D/CumH/CumICU
+    feasibility) -> ODE solve -> daily incidence of D/CumH/CumICU
     (row 0 anchored to the initial state, clamped >= 0) -> 3-stream Poisson LL
     over post-run-up rows -> -inf on any failure.
+
+Daily incidence is computed by RESETTING the pure-accumulator rows
+(D/CumH/CumICU — nothing in the RHS reads them) to zero at the start of every
+daily interval, so a day's incidence is the row value itself at day end. In
+exact arithmetic this equals the reference's diff-of-cumulatives
+(``SEPAIHRDObjectiveFunction.cpp:191-215``); in float32 it cuts the
+evaluation noise ~an order of magnitude, because each day's term carries
+roundoff relative to the DAY increment (~1e2-1e4) instead of the running
+cumulative (~1e5-1e6) — the acceptance-ceiling fix of OPS_ANALYSIS.md's
+"step-size death spiral" section.
 
 Everything the C++ version does with a simulation cache, thread-local cloned
 models, and OpenMP reductions collapses into a pure function: the likelihood is a
@@ -112,10 +122,18 @@ def build_objective(
         ctx = sepaihrd.interval_beta_eff(params, ts_j)
         f = lambda t, y, beta_eff: sepaihrd.rhs_frozen(t, y, params, beta_eff)
 
+        def reset_accumulators(y):
+            # D/CumH/CumICU are pure accumulators (the RHS never reads them):
+            # restart them at zero each daily interval so the day-end value IS
+            # the day's incidence — see the module docstring (f32 noise floor).
+            return y.at[model_rows].set(0.0)
+
         def fold(acc, i, y):
-            ll, comp, prev = acc
-            cur = y[model_rows]                        # (3, A) cumulative values
-            inc = jnp.maximum(cur - prev, 0.0) + eps   # daily incidence, clamped
+            ll, comp = acc
+            cur = y[model_rows]                        # (3, A) day increments
+            # i == 0 is y0 itself: row 0 incidence is 0 by anchoring
+            # (reference :192-208 anchors row 0 to the initial state).
+            inc = jnp.where(i == 0, 0.0, jnp.maximum(cur, 0.0)) + eps
             j = i - runup_offset
             in_obs = (j >= 0) & (j < num_obs)
             jc = jnp.clip(j, 0, num_obs - 1)
@@ -128,22 +146,14 @@ def build_objective(
             contrib = jnp.where(in_obs, term, 0.0) - comp
             ll_new = ll + contrib
             comp = (ll_new - ll) - contrib
-            return ll_new, comp, cur
+            return ll_new, comp
 
-        init = (jnp.zeros((), dtype=dtype), jnp.zeros((), dtype=dtype),
-                base_y0[model_rows] * 0.0)
-        # fold is first applied to (init, 0, y0): with prev=0 the i=0 row would be
-        # cur - 0; anchor prev to y0's own cumulative rows so row 0 incidence is 0
-        # (reference :192-208 anchors row 0 to the initial state).
-        def fold_anchored(acc, i, y):
-            ll, comp, prev = acc
-            prev = jnp.where(i == 0, y[model_rows], prev)
-            return fold((ll, comp, prev), i, y)
-
-        (ll, _comp, _), _yf = fold_times_fixed(f, y0, ts_j, fold_anchored, init,
-                                               substeps=substeps, method=tableau,
-                                               interval_ctx=ctx,
-                                               compensated=compensated)
+        init = (jnp.zeros((), dtype=dtype), jnp.zeros((), dtype=dtype))
+        (ll, _comp), _yf = fold_times_fixed(f, y0, ts_j, fold, init,
+                                            substeps=substeps, method=tableau,
+                                            interval_ctx=ctx,
+                                            compensated=compensated,
+                                            pre_interval=reset_accumulators)
         bad = infeasible | jnp.isnan(ll) | jnp.isinf(ll)
         return jnp.where(bad, lowest(dtype), ll)
 

@@ -304,13 +304,22 @@ def integrate_times_fixed(f, y0, ts, *, substeps=4, method="dopri5",
 
 
 def fold_times_fixed(f, y0, ts, fold, init, *, substeps=4, method="dopri5",
-                     interval_ctx=None, compensated=False):
+                     interval_ctx=None, compensated=False, pre_interval=None):
     """Like :func:`integrate_times_fixed` but folds instead of stacking.
 
     ``fold(acc, i, y_i) -> acc`` is called for every output index i (including 0
     with ``y0``). Returns the final accumulator only — nothing trajectory-sized
     ever hits HBM. This is the fusion the C++ code approximates with its
     simulation cache + thread-local matrices (``SEPAIHRDObjectiveFunction.cpp``).
+
+    ``pre_interval(y) -> y`` (optional) is applied to the carried state at the
+    START of every output interval, before integrating across it. Intended for
+    linear projections — e.g. zeroing pure-accumulator rows so they hold the
+    per-interval increment instead of a running cumulative (the float32
+    noise-floor fix of the Poisson objective: a day's incidence then carries
+    roundoff relative to the DAY increment, not the ~1e6 cumulative). In the
+    compensated path the same projection is applied to the compensation array
+    (correct only for projections, which is why the hook is documented as such).
 
     ``compensated=True`` carries a Kahan compensation array across the WHOLE
     grid (:func:`_advance_interval_fixed_comp`), cutting the float32 state-
@@ -322,13 +331,14 @@ def fold_times_fixed(f, y0, ts, fold, init, *, substeps=4, method="dopri5",
     tab = get_tableau(method)
     ts = jnp.asarray(ts)
     acc0 = fold(init, 0, y0)
+    pre = (lambda y: y) if pre_interval is None else pre_interval
 
     if compensated:
         def scan_fn_c(carry, x):
             y, c, acc = carry
             i, t_a, t_b, ctx = x
             y_new, c_new = _advance_interval_fixed_comp(
-                _bind(f, ctx), t_a, t_b, y, c, substeps, tab)
+                _bind(f, ctx), t_a, t_b, pre(y), pre(c), substeps, tab)
             acc = fold(acc, i, y_new)
             return (y_new, c_new, acc), None
 
@@ -341,7 +351,8 @@ def fold_times_fixed(f, y0, ts, fold, init, *, substeps=4, method="dopri5",
     def scan_fn(carry, x):
         y, acc = carry
         i, t_a, t_b, ctx = x
-        y_new = _advance_interval_fixed(_bind(f, ctx), t_a, t_b, y, substeps, tab)
+        y_new = _advance_interval_fixed(_bind(f, ctx), t_a, t_b, pre(y),
+                                        substeps, tab)
         acc = fold(acc, i, y_new)
         return (y_new, acc), None
 

@@ -107,6 +107,17 @@ def _cum_rows(y80):
             y80[8 * _CUMICU80: 8 * _CUMICU80 + 8])
 
 
+def _reset_acc(y80):
+    """Zero the D/CumH/CumICU accumulator blocks (the LAST three 8-row blocks
+    of the 80-row layout) at a daily-interval start — the per-day incidence
+    reset of the f32 noise-floor fix (see ``sepaihrd_pallas`` / OPS_ANALYSIS).
+    A concat, not a dynamic_update_slice (no Mosaic lowering for the latter).
+    """
+    assert (_D80, _CUMH80, _CUMICU80) == (7, 8, 9)
+    return jnp.concatenate(
+        [y80[0:8 * _D80], jnp.zeros((24,) + y80.shape[1:], y80.dtype)], axis=0)
+
+
 def _scatter_cum(vals):
     """Place three (8, Bt) row-blocks at the D/CumH/CumICU offsets of a zero
     (80, Bt) array. In the R-dropped layout they are blocks 7/8/9 — the LAST
@@ -150,17 +161,21 @@ def _make_fwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
         def body(t, carry):
             y, ll, comp = carry
 
+            # checkpoints hold the PRE-reset day-start state; the backward
+            # recompute applies the same reset, so the stored accumulator rows
+            # are never read — but storing pre-reset keeps the chunk-boundary
+            # state identical to the carried one (bitwise resume).
             @pl.when(t % L_CHUNK == 0)
             def _save():
                 bounds_ref[pl.ds((t // L_CHUNK) * _ROWS, _ROWS), :] = y
 
-            prev = _cum_rows(y)
-            y2 = interval(y, dict(prm,
-                                  beta=_day_beta(betarun_ref, runmap_ref, t)),
+            # per-day accumulator reset (f32 noise-floor fix): the day-end
+            # block value IS the day's incidence — no cumulative differencing
+            y2 = interval(_reset_acc(y),
+                          dict(prm,
+                               beta=_day_beta(betarun_ref, runmap_ref, t)),
                           M)
-            cur = _cum_rows(y2)
-            incs = tuple(jnp.maximum(cv - pv, 0.0) + _EPS
-                         for pv, cv in zip(prev, cur))
+            incs = tuple(jnp.maximum(cv, 0.0) + _EPS for cv in _cum_rows(y2))
             j = t + jnp.int32(1 - runup_offset)
             in_obs = jnp.logical_and(j >= 0, j < jnp.int32(T_obs))
             jc = jnp.clip(j, jnp.int32(0), jnp.int32(T_obs - 1))
@@ -252,12 +267,14 @@ def _make_bwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
         for c in range(n_chunks - 1, -1, -1):
             y_start = bounds_ref[_ROWS * c: _ROWS * (c + 1), :]
 
-            # phase 1: recompute the chunk's day states into scratch
+            # phase 1: recompute the chunk's day states into scratch.
+            # Scratch holds PRE-reset day-start states: slot k+1's accumulator
+            # blocks then hold day k's raw increments (the incidence source).
             def fwd_body(i, y, c=c):
                 t = jnp.int32(c * L_CHUNK) + i
                 days_ref[pl.ds(i * _ROWS, _ROWS), :] = y
                 valid = t < jnp.int32(n_intervals)
-                y2 = interval_fn(y, prm_vals,
+                y2 = interval_fn(_reset_acc(y), prm_vals,
                                  _day_beta(betarun_ref, runmap_ref, t))
                 return jnp.where(valid, y2, y)
 
@@ -276,23 +293,23 @@ def _make_bwd_kernel(n_intervals, T_obs, runup_offset, substeps, tableau,
                 r = runmap_ref[t]
                 beta8 = betarun_ref[pl.ds(8 * r, 8), :]
 
-                prev = _cum_rows(y_t)
+                # y_t1's accumulator blocks hold day t's raw increments
+                # directly (per-day reset forward) — no prev/diff, and no
+                # opposite-sign prev term in the adjoint
                 cur = _cum_rows(y_t1)
-                incs, masks = [], []
-                for pv, cv in zip(prev, cur):
-                    diff = cv - pv
-                    incs.append(jnp.maximum(diff, 0.0) + _EPS)
-                    masks.append(diff > 0.0)
+                incs = tuple(jnp.maximum(cv, 0.0) + _EPS for cv in cur)
+                masks = [cv > 0.0 for cv in cur]
                 j = t + jnp.int32(1 - runup_offset)
                 in_obs = jnp.logical_and(j >= 0, j < jnp.int32(T_obs))
                 jc = jnp.clip(j, jnp.int32(0), jnp.int32(T_obs - 1))
-                d_cur = fold_adjoint(jc, tuple(incs), masks, in_obs & valid)
+                d_cur = fold_adjoint(jc, incs, masks, in_obs & valid)
 
                 lam_aug = lam + _scatter_cum(d_cur)
-                lam_prev, d_prm, d_beta = interval_vjp(y_t, prm_vals, beta8,
-                                                       lam_aug)
-                # prev enters the fold with the opposite sign
-                lam_prev = lam_prev - _scatter_cum(d_cur)
+                lam_prev, d_prm, d_beta = interval_vjp(
+                    _reset_acc(y_t), prm_vals, beta8, lam_aug)
+                # transpose of the reset projection: the zeroed accumulator
+                # rows propagate no cotangent into the previous day
+                lam_prev = _reset_acc(lam_prev)
                 lam_new = jnp.where(valid, lam_prev, lam)
                 d_prm_new = tuple(
                     acc + jnp.where(valid, d, 0.0)

@@ -45,9 +45,12 @@ Semantics are identical to
 :func:`mmidv1_tpu.calibration.objective.build_objective` (the hot path of the
 reference's ``SEPAIHRDObjectiveFunction::calculate``,
 ``src/model/objectives/SEPAIHRDObjectiveFunction.cpp:62-279``): per-interval
-frozen beta(t)*kappa(t)*scaling, daily incidence = clamped diff of
-D/CumH/CumICU anchored at row 0, 3-stream Poisson LL over post-run-up rows
-with NaN/negative-observation skipping. Parity-tested in tests/test_pallas.py.
+frozen beta(t)*kappa(t)*scaling, clamped daily incidence of D/CumH/CumICU
+anchored at row 0 (computed by resetting those pure-accumulator rows at each
+interval start — exact-arithmetic-equal to the reference's cumulative diffs
+but ~an order of magnitude less f32 roundoff; see ``calibration.objective``),
+3-stream Poisson LL over post-run-up rows with NaN/negative-observation
+skipping. Parity-tested in tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -220,8 +223,6 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
         # the state stays FUSED as (88, Bt) — compartment c at tile-aligned
         # rows 8c..8c+7; slices below are free views
         y = y0_ref[:]
-        prev = (y[8 * _D: 8 * _D + 8], y[8 * _CUMH: 8 * _CUMH + 8],
-                y[8 * _CUMICU: 8 * _CUMICU + 8])
         ll0 = jnp.zeros_like(y[0:2])                         # (2, Bt)
         dt_ = y.dtype
         hi = jax.lax.Precision.HIGHEST   # bf16 multiplies would inject
@@ -243,13 +244,19 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             return jnp.dot(OV, state48,
                            preferred_element_type=dt_, precision=hi)  # (2,Bt)
 
-        def step_state(y, prev, beta):
+        def step_state(y, beta):
+            # Per-day accumulator reset (f32 noise-floor fix, OPS_ANALYSIS.md):
+            # D/CumH/CumICU are pure accumulators nothing in the RHS reads, so
+            # restart them at zero each interval — the day-end block value IS
+            # the day's incidence, carrying roundoff relative to the DAY
+            # increment (~1e2-1e4) instead of the cumulative (~1e5-1e6).
+            # They are the LAST three 8-row blocks, so the reset is one concat.
+            y = jnp.concatenate(
+                [y[0:8 * _D], jnp.zeros((24,) + y.shape[1:], y.dtype)], axis=0)
             y = dopri_interval(y, dict(prm, beta=beta), M)
-            cur = (y[8 * _D: 8 * _D + 8], y[8 * _CUMH: 8 * _CUMH + 8],
-                   y[8 * _CUMICU: 8 * _CUMICU + 8])
-            incs = tuple(jnp.maximum(cv - pv, 0.0) + _EPS
-                         for pv, cv in zip(prev, cur))
-            return y, cur, incs
+            incs = tuple(jnp.maximum(y[8 * c: 8 * c + 8], 0.0) + _EPS
+                         for c in (_D, _CUMH, _CUMICU))
+            return y, incs
 
         def kahan_add(ll, comp, term):
             contrib = term - comp
@@ -261,28 +268,28 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
 
         def interval_pre(t, carry, beta):
             """Run entirely inside the run-up window: integrate only."""
-            y, prev, ll, comp = carry
-            y, cur, _ = step_state(y, prev, beta)
-            return y, cur, ll, comp
+            y, ll, comp = carry
+            y, _ = step_state(y, beta)
+            return y, ll, comp
 
         def interval_in(t, carry, beta):
             """Run entirely inside the observation window: unmasked fold."""
-            y, prev, ll, comp = carry
-            y, cur, incs = step_state(y, prev, beta)
+            y, ll, comp = carry
+            y, incs = step_state(y, beta)
             j = t + jnp.int32(1 - runup_offset)
             ll, comp = kahan_add(ll, comp, poisson_all(j, incs))
-            return y, cur, ll, comp
+            return y, ll, comp
 
         def interval_edge(t, carry, beta):
             """Run straddling the run-up boundary: masked fold."""
-            y, prev, ll, comp = carry
-            y, cur, incs = step_state(y, prev, beta)
+            y, ll, comp = carry
+            y, incs = step_state(y, beta)
             j = t + jnp.int32(1 - runup_offset)
             in_obs = jnp.logical_and(j >= 0, j < jnp.int32(T_obs))
             jc = jnp.clip(j, jnp.int32(0), jnp.int32(T_obs - 1))
             term = jnp.where(in_obs, poisson_all(jc, incs), 0.0)
             ll, comp = kahan_add(ll, comp, term)
-            return y, cur, ll, comp
+            return y, ll, comp
 
         if runup_offset == 0:
             inc0 = jnp.full_like(y[0:8], _EPS)
@@ -298,7 +305,7 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
         # folds (static: skip the Poisson machinery entirely) and a run whose
         # first interval has j >= 0 always folds (drop the mask; j never
         # reaches T_obs — the grid ends at j = T_obs-1).
-        carry = (y, prev, ll0, jnp.zeros_like(ll0))
+        carry = (y, ll0, jnp.zeros_like(ll0))
         for r, (_pb, _pk, start, count) in enumerate(period_runs):
             bA = sched_ref[2 * r: 2 * r + 1, :]
             bB = sched_ref[2 * r + 1: 2 * r + 2, :]
@@ -314,7 +321,7 @@ def _make_kernel(T: int, T_obs: int, runup_offset: int, substeps: int,
             carry = jax.lax.fori_loop(
                 jnp.int32(start), jnp.int32(start + count),
                 lambda t, c, beta=beta, body=body: body(t, c, beta), carry)
-        _, _, ll, _comp = carry
+        _, ll, _comp = carry
         ll_ref[:] = ll
 
     return kernel

@@ -311,11 +311,31 @@ def main(argv=None) -> int:
                      delta_target=args.delta_target,
                      eps_floor=args.eps_floor, eps_ceil=args.eps_ceil)
 
+    # The z-coordinate checkpoint decodes only under the mass that was active
+    # when it was written (utils/checkpoint.py::save_nuts_state docstring).
+    # Staged runs REFRESH the mass between stages, so the final stage's
+    # factor must persist alongside the checkpoint for --resume to decode the
+    # state correctly — recomputing from --trace would silently shift every
+    # chain position.
+    mass_path = None  # set after args.out exists
+
+    def save_active_mass(mu, scale, power=None):
+        kw = dict(names=np.asarray(space.names),
+                  mu=np.asarray(mu, np.float64),
+                  scale=np.asarray(scale, np.float64))
+        if power is not None:
+            kw["power"] = np.asarray(power, np.float64)
+        tmp = mass_path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **kw)
+        os.replace(tmp, mass_path)
+
     # -- segment-level checkpointing: every completed segment persists the
     # sampler state + all samples so far, so a killed multi-hour run loses at
     # most one segment (tunneled-TPU RPCs drop; --resume continues exactly)
     from mmidv1_tpu.utils.checkpoint import load_nuts_state, save_nuts_state
     os.makedirs(args.out, exist_ok=True)
+    mass_path = os.path.join(args.out, "active_mass.npz")
     state_path = os.path.join(args.out, "nuts_state.npz")
     partial_path = os.path.join(args.out, "partial_samples.npz")
     prev_xs, prev_lps = [], []
@@ -354,6 +374,18 @@ def main(argv=None) -> int:
             p.error(f"--resume: checkpoint exists but no partial samples in "
                     f"{args.out}; cannot reconstruct the full trace")
         initial_state = load_nuts_state(state_path)
+        if os.path.exists(mass_path):
+            with np.load(mass_path) as mz:
+                assert list(mz["names"]) == list(space.names)
+                if args.mass in ("logit-dense", "logit-file"):
+                    mu_y = mz["mu"].astype(np.float64)
+                    if "power" in mz.files:
+                        power_k = mz["power"].astype(np.float64)
+                else:
+                    theta0 = jnp.asarray(mz["mu"], dtype)
+                dense_scale = mz["scale"].astype(np.float64)
+            print("resume: active mass restored from active_mass.npz "
+                  "(the checkpointed z-state decodes only under it)")
         for f in seg_files:
             with np.load(f) as z:
                 prev_xs.append(z["samples"])
@@ -393,6 +425,9 @@ def main(argv=None) -> int:
     else:
         # a fresh run must not inherit another campaign's partial files —
         # they would be concatenated into the posterior on a later --resume
+        # (nor its active mass: it is rewritten at this run's final stage)
+        if os.path.exists(mass_path):
+            os.remove(mass_path)
         for f in glob_mod.glob(seg_glob):
             os.remove(f)
         for f in glob_mod.glob(os.path.join(args.out, ".tmp_partial_*.npz")):
@@ -483,6 +518,8 @@ def main(argv=None) -> int:
                   f"refreshed from {draws.shape[0]} draws (y-marginal-std "
                   f"range {np.sqrt(np.diag(cov_s)).min():.2e}.."
                   f"{np.sqrt(np.diag(cov_s)).max():.2e})", flush=True)
+        if not args.resume:
+            save_active_mass(mu_y, dense_scale, power_k)
         res = run_nuts_logit(loglik, space, jax.random.PRNGKey(args.seed),
                              cfg, mu=jnp.asarray(mu_y, dtype),
                              scale=jnp.asarray(dense_scale, dtype),
@@ -528,6 +565,8 @@ def main(argv=None) -> int:
                   f"{draws.shape[0]} draws (marginal-std range "
                   f"{np.sqrt(np.diag(cov_emp)).min():.2e}.."
                   f"{np.sqrt(np.diag(cov_emp)).max():.2e})")
+        if not args.resume:
+            save_active_mass(np.asarray(theta0), dense_scale)
         res = run_nuts_dense(loglik, space, jax.random.PRNGKey(args.seed),
                              cfg, mu=theta0,
                              scale=jnp.asarray(dense_scale, dtype),

@@ -149,6 +149,11 @@ def main(argv=None):
     p.add_argument("--delta-target", type=float, default=None)
     p.add_argument("--eps-floor", type=float, default=None)
     p.add_argument("--eps-ceil", type=float, default=None)
+    p.add_argument("--stages", type=int, default=None,
+                   help="mass-refinement ladder depth passed to the "
+                        "campaign (pre-final stages re-estimate the dense "
+                        "mass from their own mobile draws — the r15 recipe)")
+    p.add_argument("--stage-iterations", type=int, default=None)
     args = p.parse_args(argv)
 
     deadline = time.time() + args.deadline_hours * 3600
@@ -187,13 +192,24 @@ def main(argv=None):
         if not tpu_up():
             wait_for_tpu(args.poll_secs, deadline)
         probe_out = os.path.join(REPO, "results", "spain2020_nuts_rdepthprobe")
-        rc, out = run_logged(
-            [PY, os.path.join(REPO, "scripts", "nuts_campaign.py"),
-             "--chains", "256", "--iterations", "30", "--warmup", "10",
-             "--depth", "10", "--segments", "6",
-             "--mass", "empirical-dense", "--trace", args.trace,
-             "--warm", args.trace, "--out", probe_out,
-             "--bwd-block", str(bwd_block)], timeout=3600, tag="depth")
+        probe_cmd = [PY, os.path.join(REPO, "scripts", "nuts_campaign.py"),
+                     "--chains", "256", "--iterations", "30", "--warmup", "10",
+                     "--depth", "10", "--segments", "6",
+                     "--mass", args.mass, "--trace", args.trace,
+                     "--warm", args.trace, "--out", probe_out,
+                     "--bwd-block", str(bwd_block)]
+        # probe in the production geometry: tree depth measured in theta
+        # space does not transfer to the power-logit space the campaign
+        # actually samples in
+        if args.power is not None:
+            probe_cmd += ["--power", args.power]
+        if args.delta_target is not None:
+            probe_cmd += ["--delta-target", str(args.delta_target)]
+        if args.eps_floor is not None:
+            probe_cmd += ["--eps-floor", str(args.eps_floor)]
+        if args.eps_ceil is not None:
+            probe_cmd += ["--eps-ceil", str(args.eps_ceil)]
+        rc, out = run_logged(probe_cmd, timeout=3600, tag="depth")
         mean_depth = None
         try:
             with open(os.path.join(probe_out, "campaign_metadata.json")) as f:
@@ -242,6 +258,12 @@ def main(argv=None):
             cmd += ["--eps-floor", str(args.eps_floor)]
         if args.eps_ceil is not None:
             cmd += ["--eps-ceil", str(args.eps_ceil)]
+        if args.stages is not None and not resume:
+            # the ladder only applies to a fresh run: a checkpointed resume
+            # continues the FINAL stage (the checkpoint holds its mass)
+            cmd += ["--stages", str(args.stages)]
+            if args.stage_iterations is not None:
+                cmd += ["--stage-iterations", str(args.stage_iterations)]
         # no --report here: failed-gate attempts would each pay the full
         # analysis-tree cost, and the converged run's report is produced
         # once by refresh_artifact --report at promotion
