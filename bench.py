@@ -74,7 +74,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache"))
+    # BENCH_COLD=1: compile everything against a FRESH cache dir so the
+    # reported compile+first-run times are attributable to the programs
+    # themselves (the rolled substep loop etc.), not persistent-cache warmth
+    # — the confound VERDICT r2 flagged on the 515 s -> 3.6 s claim. Cold
+    # results land in BENCH_DETAILS_COLD.json so the driver's warm-path
+    # BENCH_DETAILS.json is untouched.
+    cold = bool(os.environ.get("BENCH_COLD"))
+    if cold:
+        import tempfile
+        cache_dir = tempfile.mkdtemp(prefix="jax_cold_cache_")
+        log(f"COLD mode: fresh compilation cache at {cache_dir}")
+    else:
+        cache_dir = os.path.join(REPO, ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from mmidv1_tpu.calibration.mh import MHConfig, run_mh
@@ -126,6 +139,8 @@ def main():
 
     t0 = time.perf_counter()
     solve_batch(scales).block_until_ready()
+    details.setdefault("compile_first_run_s", {})["xla_solve_b8192"] = \
+        time.perf_counter() - t0
     log(f"solve compile+first run: {time.perf_counter() - t0:.1f}s (B={B})")
     dt = timed(lambda s: solve_batch(s).block_until_ready(), scales)
     details["xla_365d_solves_per_sec_per_chip"] = B / dt
@@ -200,6 +215,8 @@ def main():
 
         t0 = time.perf_counter()
         scan_solves(jax.random.PRNGKey(5)).block_until_ready()
+        details["compile_first_run_s"]["pallas_solve_scan"] = \
+            time.perf_counter() - t0
         log(f"pallas solve compile+first run: {time.perf_counter()-t0:.1f}s")
         dtp = timed(lambda k: scan_solves(k).block_until_ready(),
                     jax.random.PRNGKey(6)) / STEPS
@@ -229,6 +246,7 @@ def main():
         jax.random.normal(jax.random.PRNGKey(1), (B, space.dim), dtype=dtype)
     t0 = time.perf_counter()
     obj_batch(thetas).block_until_ready()
+    details["compile_first_run_s"]["xla_objective"] = time.perf_counter() - t0
     log(f"objective compile+first run: {time.perf_counter() - t0:.1f}s")
     dt = timed(lambda t: obj_batch(t).block_until_ready(), thetas)
     evals_per_sec = B / dt
@@ -246,6 +264,8 @@ def main():
             constraint_mode=REFLECT, dtype=dtype, block_b=2048)
         t0 = time.perf_counter()
         ll_pallas(thetas).block_until_ready()
+        details["compile_first_run_s"]["pallas_objective"] = \
+            time.perf_counter() - t0
         log(f"pallas objective compile+first run: {time.perf_counter()-t0:.1f}s")
         dtp = timed(lambda t: ll_pallas(t).block_until_ready(), thetas)
         details["pallas_objective_evals_per_sec_per_chip"] = B / dtp
@@ -280,6 +300,7 @@ def main():
     t0 = time.perf_counter()
     for steps in (STEPS_SHORT, STEPS_LONG):
         runners[steps](state0, jax.random.PRNGKey(2)).best_logp.block_until_ready()
+    details["compile_first_run_s"]["mh_runners"] = time.perf_counter() - t0
     log(f"mcmc compile+first runs: {time.perf_counter() - t0:.1f}s")
     t_short = timed(lambda k: runners[STEPS_SHORT](state0, k)
                     .best_logp.block_until_ready(), jax.random.PRNGKey(3))
@@ -314,6 +335,8 @@ def main():
 
         t0 = time.perf_counter()
         scan_grads(jax.random.PRNGKey(7)).block_until_ready()
+        details["compile_first_run_s"]["pallas_adjoint_scan"] = \
+            time.perf_counter() - t0
         log(f"adjoint compile+first run: {time.perf_counter()-t0:.1f}s")
         dtg = timed(lambda k: scan_grads(k).block_until_ready(),
                     jax.random.PRNGKey(8)) / GSTEPS
@@ -322,7 +345,9 @@ def main():
     except Exception as e:
         log(f"pallas adjoint skipped: {type(e).__name__}: {e}")
 
-    with open(os.path.join(REPO, "BENCH_DETAILS.json"), "w") as f:
+    details["cache_mode"] = "cold" if cold else "warm"
+    out_name = "BENCH_DETAILS_COLD.json" if cold else "BENCH_DETAILS.json"
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(details, f, indent=2)
 
     print(json.dumps({

@@ -162,8 +162,11 @@ def main(argv=None) -> int:
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    # MMIDV1_JAX_CACHE_DIR overrides the persistent cache location (a fresh
+    # temp dir gives honest cold-compile timings — bench.py BENCH_COLD=1)
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(REPO, ".jax_cache"))
+                      os.environ.get("MMIDV1_JAX_CACHE_DIR",
+                                     os.path.join(REPO, ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     dtype = jnp.float32
