@@ -65,13 +65,24 @@ L_CHUNK = 24   # days per backward chunk (VMEM day-state scratch sizing)
 # jitted wrappers cache on static args, so a later change does not retrace).
 VMEM_LIMIT_BYTES = None
 
+# Backward widths past 256 lanes overflow Mosaic's default 16 MiB scoped-VMEM
+# budget but fit comfortably in the raised cap (v5e has 128 MiB physical).
+# Measured 2026-08-19 (scripts/adjoint_lane_probe.py, batch 2048, bitwise
+# parity across widths): 256 lanes 1.255e5, 512 lanes 1.460e5, 1024 lanes
+# 1.487e5 value_and_grads/s — so wide-backward is the default and the cap is
+# raised automatically when the requested width needs it.
+_WIDE_BWD_VMEM_BYTES = 96 << 20
 
-def _compiler_params():
-    if VMEM_LIMIT_BYTES is None:
+
+def _compiler_params(bwd_lanes=None):
+    limit = VMEM_LIMIT_BYTES
+    if limit is None and bwd_lanes is not None and bwd_lanes > 256:
+        limit = _WIDE_BWD_VMEM_BYTES
+    if limit is None:
         return None
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.CompilerParams(vmem_limit_bytes=int(VMEM_LIMIT_BYTES))
+    return pltpu.CompilerParams(vmem_limit_bytes=int(limit))
 
 # The adjoint kernels integrate the R-DROPPED 80-row state (see _rhs80): R
 # is absorbing, unobserved, and feeds nothing, so its value, day states, and
@@ -412,7 +423,7 @@ def _bwd_call(param_pack, betarun_pack, M2, ov_t, ov_b, bounds, g_ll,
                    jax.ShapeDtypeStruct((N_PARAM_ROWS, B2), dtype),
                    jax.ShapeDtypeStruct(betarun_pack.shape, dtype)),
         scratch_shapes=[pltpu.VMEM(((L_CHUNK + 1) * _ROWS, block_lanes), dtype)],
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(bwd_lanes=block_lanes),
         interpret=interpret,
     )(param_pack, betarun_pack, M2, ov_t, ov_b, bounds, g_ll, runmap)
     return dy0, dparams, dbetarun
@@ -476,7 +487,7 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
                                 base_initial_state=None, substeps: int = 4,
                                 tableau: str = "dopri5",
                                 constraint_mode="reflect", dtype=None,
-                                block_b: int = 2048, bwd_block_b: int = 512,
+                                block_b: int = 2048, bwd_block_b: int = 2048,
                                 interpret: bool = False):
     """Batched ``value_and_grad_batch(thetas (B, d)) -> (ll (B,), grad (B, d))``
     backed by the Pallas forward+adjoint kernels — the gradient engine for

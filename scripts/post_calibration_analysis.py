@@ -309,8 +309,65 @@ def main(argv=None) -> int:
     parts = ["<html><head><title>Post-calibration analysis</title>",
              "<style>body{font-family:sans-serif;max-width:1100px;margin:auto}"
              "table{border-collapse:collapse}td,th{border:1px solid #ccc;"
-             "padding:4px 8px;font-size:13px}img{max-width:100%}</style>",
+             "padding:4px 8px;font-size:13px}img{max-width:100%}"
+             ".verdict{padding:10px 14px;border-radius:6px;font-size:15px;"
+             "margin:8px 0}.pass{background:#e6f6e6;border:1px solid #2a2}"
+             ".fail{background:#fdeaea;border:1px solid #c33}"
+             ".warn{background:#fff6e0;border:1px solid #d90}</style>",
              "</head><body><h1>Post-calibration analysis report</h1>"]
+
+    # ---- posterior provenance + convergence banner (VERDICT r2 items 4/6) --
+    meta_path = os.path.join(os.path.dirname(os.path.abspath(input_dir)),
+                             "run_metadata.json")
+    if os.path.exists(meta_path):
+        import json as _json
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        diag = meta.get("campaign_diagnostics", {}) or {}
+        src = meta.get("posterior_source", "unknown")
+        max_rhat = diag.get("max_rhat")
+        rank_rhat = diag.get("max_rank_rhat")
+        min_ess = diag.get("min_ess")
+        bits = [f"posterior source: {html.escape(str(src))}"]
+        if max_rhat is not None:
+            bits.append(f"max split-R-hat {max_rhat:.3f}")
+        if rank_rhat is not None:
+            bits.append(f"max rank-R-hat {rank_rhat:.3f}")
+        if min_ess is not None:
+            bits.append(f"min ESS {min_ess:.0f}")
+        converged = max_rhat is not None and max_rhat < 1.05 and \
+            (rank_rhat is None or rank_rhat < 1.05)
+        cls, tag = ("pass", "CONVERGED") if converged else \
+            ("warn", "NOT CONVERGED — every band/CI below is unreliable")
+        parts.append(f"<div class='verdict {cls}'><b>Posterior "
+                     f"provenance: {tag}.</b> " + " &middot; ".join(
+                         html.escape(b) for b in bits) + "</div>")
+
+    # ---- ENE-COVID external-validation verdict (red/green; reference
+    #      PostCalibrationAnalyser.cpp:289-299 validates against round-1
+    #      day-64 seroprevalence 4.8% [4.3, 5.4]) ----------------------------
+    ene = _read(os.path.join(input_dir, "seroprevalence",
+                             "ene_covid_validation.csv"))
+    if ene is not None and {"Model", "ENE_COVID"} <= set(ene["source"]):
+        m = ene[ene["source"] == "Model"].iloc[0]
+        s = ene[ene["source"] == "ENE_COVID"].iloc[0]
+        ok = s["lower_95ci"] <= m["median_seroprevalence"] <= s["upper_95ci"]
+        ratio = s["median_seroprevalence"] / max(m["median_seroprevalence"],
+                                                 1e-12)
+        cls, tag = ("pass", "PASSES") if ok else ("fail", "FAILS")
+        detail = (f"model day-{s['target_day']:g} seroprevalence "
+                  f"{100 * m['median_seroprevalence']:.3f}% "
+                  f"[{100 * m['lower_95ci']:.3f}, {100 * m['upper_95ci']:.3f}] "
+                  f"vs ENE-COVID {100 * s['median_seroprevalence']:.1f}% "
+                  f"[{100 * s['lower_95ci']:.1f}, {100 * s['upper_95ci']:.1f}]")
+        if not ok:
+            detail += (f" — a {ratio:.1f}x gap. The H/ICU/D streams identify "
+                       "only attack-rate x severity; see PARITY.md "
+                       "'ENE-COVID seroprevalence' for the measured "
+                       "identifiability profile (the reference's own "
+                       "calibrated parameters also miss this validation).")
+        parts.append(f"<div class='verdict {cls}'><b>ENE-COVID external "
+                     f"validation: {tag}.</b> {html.escape(detail)}</div>")
     if summary is not None:
         parts.append("<h2>Aggregated metrics</h2>")
         parts.append(summary.to_html(index=False, float_format="%.5g"))

@@ -90,7 +90,9 @@ def main(argv=None) -> int:
     M = base.M_baseline
     ts_j = jnp.asarray(ts, jnp.float64)
     base_y0 = jnp.asarray(
-        data.initial_sepaihrd_state(base), jnp.float64)
+        data.initial_sepaihrd_state(
+            sigma=base.sigma, gamma_p=base.gamma_p, gamma_A=base.gamma_A,
+            gamma_I=base.gamma_I, p=base.p, h=base.h), jnp.float64)
 
     ll_fn = jax.jit(build_objective(
         space, base, data, ts, substeps=args.substeps, tableau=args.tableau,

@@ -109,6 +109,7 @@ def test_adjoint_drives_mala(short_spain):
 
 
 @pytest.mark.slow
+@pytest.mark.campaign
 def test_adjoint_drives_nuts(short_spain):
     """Batch-native NUTS accepts the kernel engine as value_and_grad_batch."""
     from mmidv1_tpu.calibration.nuts import NUTSConfig, run_nuts

@@ -172,6 +172,7 @@ def test_production_campaign_pt_smoke(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.campaign
 def test_nuts_campaign_smoke(tmp_path):
     """The NUTS campaign driver end-to-end on a tiny CPU configuration
     (XLA gradient engine; the Pallas adjoint path needs a TPU)."""
@@ -196,6 +197,7 @@ def test_nuts_campaign_smoke(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.campaign
 def test_map_polish_and_laplace_warm_starts(tmp_path):
     """The second-order polish chain: map_polish.py emits a Laplace mass
     matrix that nuts_campaign.py (--mass laplace) and production_campaign.py
@@ -363,6 +365,7 @@ def test_refresh_artifact(tmp_path):
     assert "nuts_test" in meta["posterior_source"]
 
 @pytest.mark.slow
+@pytest.mark.campaign
 def test_nuts_campaign_resume_reconciles_uncheckpointed_partial(tmp_path):
     """Crash-window recovery: the campaign writes each segment's partial
     file BEFORE the state checkpoint (state = commit point), so a crash in

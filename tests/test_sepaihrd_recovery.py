@@ -17,6 +17,7 @@ from mmidv1_tpu.models import sepaihrd
 
 
 @pytest.mark.slow
+@pytest.mark.campaign
 def test_two_phase_recovers_synthetic_truth(spain_params):
     """Generate observations at known (beta_1, theta, seed_exposed), start the
     calibration from wrong values, and require the two-phase pipeline to land
