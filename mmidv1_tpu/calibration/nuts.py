@@ -364,7 +364,9 @@ def run_nuts(
     resumes. ``on_segment(state, xs, lps)`` fires after each segment with
     the carried :class:`NUTSState` and that segment's samples — hook for
     atomic on-disk checkpoints during multi-hour campaigns on preemptible
-    or tunnel-flaky devices.
+    or tunnel-flaky devices. A truthy return stops the run after that
+    segment (early convergence stop); the samples gathered so far are
+    returned, and a later resume continues bit-exactly from the stop.
     """
     dtype = jnp.asarray(theta0).dtype
     d = space.dim
@@ -535,7 +537,8 @@ def run_nuts(
         dep_sum = dep_sum + jnp.sum(deps, axis=0)
         n_acc += keys.shape[0]
         if on_segment is not None:
-            on_segment(carry, xs, lps)
+            if on_segment(carry, xs, lps):
+                break              # early stop requested (e.g. gate met)
     if not xs_parts:                     # resume of an already-finished run
         xs_parts = [jnp.zeros((0, B, d), dtype)]
         lps_parts = [jnp.zeros((0, B), dtype)]
@@ -815,7 +818,7 @@ def run_nuts_logit(
     if on_segment is not None:
         def on_seg_z(st, xs, lps):
             th = to_theta(xs)
-            on_segment(st, th, pure_lp(th, lps))
+            return on_segment(st, th, pure_lp(th, lps))
 
     res = run_nuts(scalar_logp, z_space, z0, key, cfg,
                    n_chains=n_chains, jitter=jitter,

@@ -153,6 +153,14 @@ def main(argv=None) -> int:
                    help="exit nonzero unless BOTH max split-R-hat and max "
                         "rank-normalized R-hat land under this bar "
                         "(0 = no gate)")
+    p.add_argument("--stop-when-converged", type=int, default=0,
+                   help="stop the final stage early once the live "
+                        "burned-window worst split-R-hat has stayed below "
+                        "0.98 x --require-rhat for this many CONSECUTIVE "
+                        "segments (and >= 100 burned iterations exist); "
+                        "0 = run every iteration. The end-of-run gate still "
+                        "re-checks the full split+rank diagnostics, and a "
+                        "later --resume continues bit-exactly")
     p.add_argument("--platform", default="default", choices=["default", "cpu"],
                    help="'cpu' forces the CPU backend (smoke tests; the "
                         "JAX_PLATFORMS env var cannot override the axon "
@@ -439,6 +447,7 @@ def main(argv=None) -> int:
             os.remove(partial_path)
 
     seg_counter = {"n": len(prev_xs)}
+    stop_streak = {"n": 0}
     # live-monitor accumulator: a <=128-chain subset of every segment, kept
     # incrementally (concatenating the FULL trace each segment would copy
     # O(segments x total) bytes — ~50 GB over a production campaign)
@@ -481,6 +490,19 @@ def main(argv=None) -> int:
             print(f"  [seg @ iter {int(state.it)}] worst split-R-hat: {stat}"
                   f" | burned-window worst {float(np.max(rb)):.2f}",
                   flush=True)
+            if (args.stop_when_converged > 0 and args.require_rhat > 0
+                    and acc.shape[0] - nb >= 100
+                    and float(np.max(rb)) < 0.98 * args.require_rhat):
+                stop_streak["n"] += 1
+                if stop_streak["n"] >= args.stop_when_converged:
+                    print(f"  [seg @ iter {int(state.it)}] EARLY STOP: "
+                          f"burned-window worst split-R-hat under "
+                          f"{0.98 * args.require_rhat:.3f} for "
+                          f"{stop_streak['n']} consecutive segments",
+                          flush=True)
+                    return True
+            else:
+                stop_streak["n"] = 0
 
     t0 = time.perf_counter()
     if args.mass in ("logit-dense", "logit-file"):

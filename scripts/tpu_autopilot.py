@@ -154,6 +154,15 @@ def main(argv=None):
                         "campaign (pre-final stages re-estimate the dense "
                         "mass from their own mobile draws — the r15 recipe)")
     p.add_argument("--stage-iterations", type=int, default=None)
+    p.add_argument("--stop-when-converged", type=int, default=None,
+                   help="forwarded to the campaign: early-stop the final "
+                        "stage after this many consecutive gate-clean "
+                        "segments")
+    p.add_argument("--resume-existing", action="store_true",
+                   help="start the production loop in --resume mode when "
+                        "<out>/nuts_state.npz already exists (continue a "
+                        "campaign another autopilot started, instead of "
+                        "wiping its partials)")
     args = p.parse_args(argv)
 
     deadline = time.time() + args.deadline_hours * 3600
@@ -231,7 +240,11 @@ def main(argv=None):
     # ---- stage 3: production campaign (resume on drop, extend on gate) ---
     iterations = args.iterations
     attempt = 0
-    resume = False
+    resume = args.resume_existing and os.path.exists(
+        os.path.join(args.out, "nuts_state.npz"))
+    if resume:
+        log("resume-existing: continuing the checkpointed campaign in "
+            f"{args.out}")
     gate_ok = False
     while time.time() < deadline and iterations <= args.max_iterations:
         if not tpu_up():
@@ -258,6 +271,8 @@ def main(argv=None):
             cmd += ["--eps-floor", str(args.eps_floor)]
         if args.eps_ceil is not None:
             cmd += ["--eps-ceil", str(args.eps_ceil)]
+        if args.stop_when_converged is not None:
+            cmd += ["--stop-when-converged", str(args.stop_when_converged)]
         if args.stages is not None and not resume:
             # the ladder only applies to a fresh run: a checkpointed resume
             # continues the FINAL stage (the checkpoint holds its mass)

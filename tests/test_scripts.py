@@ -198,6 +198,37 @@ def test_nuts_campaign_smoke(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.campaign
+def test_nuts_campaign_early_stop(tmp_path, capsys):
+    """--stop-when-converged ends the final stage once the live burned-window
+    R-hat has cleared the gate for N consecutive segments: the run stops
+    short of --iterations, still writes a complete artifact, and the
+    end-of-run gate re-check passes (rc 0)."""
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    import nuts_campaign
+
+    rc = nuts_campaign.main([
+        "--chains", "4", "--iterations", "280", "--warmup", "4",
+        "--depth", "2", "--substeps", "2", "--engine", "xla",
+        "--segments", "14", "--require-rhat", "1000",
+        "--stop-when-converged", "2", "--out", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "EARLY STOP" in out
+    # stopped short: the saved trace has fewer than the requested iterations
+    z = np.load(tmp_path / "samples.npz")
+    state = np.load(tmp_path / "nuts_state.npz")
+    assert int(state["it"]) < 280
+    assert z["samples"].shape[0] >= 1
+    assert (tmp_path / "posterior_trace.csv").exists()
+
+
+@pytest.mark.slow
+@pytest.mark.campaign
 def test_map_polish_and_laplace_warm_starts(tmp_path):
     """The second-order polish chain: map_polish.py emits a Laplace mass
     matrix that nuts_campaign.py (--mass laplace) and production_campaign.py
