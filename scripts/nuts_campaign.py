@@ -165,7 +165,37 @@ def main(argv=None) -> int:
                    help="'cpu' forces the CPU backend (smoke tests; the "
                         "JAX_PLATFORMS env var cannot override the axon "
                         "sitecustomize, so this must be a config update)")
+    p.add_argument("--max-dispatch-seconds", type=float, default=75.0,
+                   help="upper bound on the ESTIMATED device time of one "
+                        "XLA dispatch; --segments is raised (never lowered) "
+                        "so every stage's dispatches fit. Measured on the "
+                        "tunneled v5e (2026-08-19): dispatches of ~260 s "
+                        "die UNAVAILABLE ~150 s in (13/13 attempts), while "
+                        "55 s dispatches and 1-iteration (~15 s) dispatches "
+                        "always survive — the tunnel enforces an ~2 min "
+                        "per-RPC deadline, so a campaign must be cut into "
+                        "dispatches well under it")
     args = p.parse_args(argv)
+
+    def dispatch_bounded_segments(n_iters: int) -> int:
+        """Minimum segment count keeping each dispatch under the budget.
+
+        Conservative model: every tree runs to the depth CAP (2^depth
+        value-and-grads per chain per iteration) at the measured tunneled
+        throughput floor of ~25k value-and-grads/s (probe_shortseg: 512
+        chains x depth 10 -> ~13-16 s device per iteration).
+        """
+        vag_rate = 25000.0
+        iter_s = (2.0 ** args.depth) * args.chains / vag_rate
+        per = max(1, int(args.max_dispatch_seconds / max(iter_s, 1e-9)))
+        return max(1, -(-n_iters // per))
+
+    args.segments = max(args.segments,
+                        dispatch_bounded_segments(args.iterations))
+    print(f"dispatch bound: {args.segments} segments over "
+          f"{args.iterations} iterations "
+          f"(~{args.iterations / args.segments:.1f} it/dispatch, "
+          f"budget {args.max_dispatch_seconds:.0f}s)", flush=True)
 
     import jax
     if args.platform == "cpu":
@@ -523,9 +553,10 @@ def main(argv=None) -> int:
                                  scale=jnp.asarray(dense_scale, dtype),
                                  n_chains=args.chains, jitter=args.jitter,
                                  value_and_grad_batch=vag,
-                                 segments=max(1, args.segments
-                                              * stage_iters
-                                              // max(args.iterations, 1)),
+                                 segments=max(
+                                     args.segments * stage_iters
+                                     // max(args.iterations, 1),
+                                     dispatch_bounded_segments(stage_iters)),
                                  init=warm_init, power=power_vec)
             jax.block_until_ready(res.samples)
             draws = np.asarray(
@@ -577,7 +608,9 @@ def main(argv=None) -> int:
                                  scale=jnp.asarray(dense_scale, dtype),
                                  n_chains=args.chains, jitter=args.jitter,
                                  value_and_grad_batch=vag,
-                                 segments=max(1, args.segments // 4),
+                                 segments=max(
+                                     args.segments // 4,
+                                     dispatch_bounded_segments(stage_iters)),
                                  init=warm_init)
             jax.block_until_ready(res.samples)
             draws = np.asarray(
