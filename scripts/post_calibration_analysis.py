@@ -48,6 +48,36 @@ def _read(path):
     return pd.read_csv(path) if os.path.exists(path) else None
 
 
+def _sero_sensitivity_line(profile_path=None):
+    """One-sentence summary of the measured bound-sensitivity result
+    (results/sero_force_profile.json, variant C: severity lower bounds /10)
+    so a FAILS verdict is self-contained in the report. Returns None when
+    the probe output is absent or doesn't reach the ENE-COVID interval."""
+    import json
+    path = profile_path or os.path.join(REPO, "results",
+                                        "sero_force_profile.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            prof = json.load(f)
+        final = prof["variant_C"]["path"][-1]
+        sero, dll = float(final["sero_day64"]), float(final["delta_ll"])
+        div = float(prof["config"]["severity_floor_div"])
+    except (KeyError, IndexError, ValueError, TypeError):
+        return None
+    if not 0.043 <= sero <= 0.054:
+        return None
+    return (f"The miss is forced by the reference's parameter bounds, not "
+            f"the model or data: with ONLY the severity lower bounds "
+            f"(p/h/icu/d) divided by {div:g} — caps and every other bound "
+            f"unchanged — the same data reach day-64 seroprevalence "
+            f"{100 * sero:.2f}% (inside the ENE-COVID 95% CI) at a Poisson "
+            f"log-likelihood {dll:+.0f} nats relative to the "
+            f"reference-bounds MAP (results/sero_force_profile.json, "
+            f"variant C; PARITY.md 'ENE-COVID seroprevalence').")
+
+
 def plot_ppc(input_dir, fig_dir, figures):
     ppc_dir = os.path.join(input_dir, "posterior_predictive")
     for stream in STREAMS:
@@ -368,6 +398,12 @@ def main(argv=None) -> int:
                        "calibrated parameters also miss this validation).")
         parts.append(f"<div class='verdict {cls}'><b>ENE-COVID external "
                      f"validation: {tag}.</b> {html.escape(detail)}</div>")
+        if not ok:
+            sens = _sero_sensitivity_line()
+            if sens:
+                parts.append(f"<div class='verdict warn'><b>Bound "
+                             f"sensitivity (measured).</b> "
+                             f"{html.escape(sens)}</div>")
     if summary is not None:
         parts.append("<h2>Aggregated metrics</h2>")
         parts.append(summary.to_html(index=False, float_format="%.5g"))

@@ -125,6 +125,14 @@ def test_analysis_report_renders_validation_verdicts():
     if "ENE-COVID external validation: FAILS" in html:
         # a failing verdict must point at the measured explanation
         assert "PARITY.md" in html
+        # ... and, since the bound-sensitivity probe is committed
+        # (results/sero_force_profile.json), the report must be
+        # self-contained: the measured "bounds force the miss" result
+        # renders right under the verdict
+        if os.path.exists(os.path.join(REPO, "results",
+                                       "sero_force_profile.json")):
+            assert "Bound sensitivity (measured)" in html
+            assert "inside the ENE-COVID 95% CI" in html
 
 
 def test_committed_posterior_convergence_diagnostics():
