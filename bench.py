@@ -82,8 +82,13 @@ def main():
     # BENCH_DETAILS.json is untouched.
     cold = bool(os.environ.get("BENCH_COLD"))
     if cold:
+        import atexit
+        import shutil
         import tempfile
         cache_dir = tempfile.mkdtemp(prefix="jax_cold_cache_")
+        # the cold cache exists only to make THIS run's compiles honest;
+        # leaving it behind accumulates multi-GB dirs in $TMPDIR per run
+        atexit.register(shutil.rmtree, cache_dir, ignore_errors=True)
         log(f"COLD mode: fresh compilation cache at {cache_dir}")
     else:
         cache_dir = os.path.join(REPO, ".jax_cache")

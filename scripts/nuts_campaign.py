@@ -427,6 +427,20 @@ def main(argv=None) -> int:
                 dense_scale = mz["scale"].astype(np.float64)
             print("resume: active mass restored from active_mass.npz "
                   "(the checkpointed z-state decodes only under it)")
+        else:
+            # the checkpointed z-state decodes only under the mass that was
+            # active when it was written; recomputing it from --trace would
+            # silently shift every chain position
+            if args.mass in ("logit-dense", "logit-file"):
+                p.error(f"--resume: {mass_path} is missing and the logit "
+                        "z-checkpoint cannot be decoded without the exact "
+                        "active mass; restore the file or restart")
+            print("WARNING: resume without active_mass.npz — falling back "
+                  "to the mass recomputed from the CLI inputs; if the "
+                  "original run refreshed its mass (--stages) every chain "
+                  "position will silently shift. Backfilling the file so "
+                  "the NEXT resume is protected.", flush=True)
+            save_active_mass(np.asarray(theta0), dense_scale)
         for f in seg_files:
             with np.load(f) as z:
                 prev_xs.append(z["samples"])
@@ -520,14 +534,18 @@ def main(argv=None) -> int:
             print(f"  [seg @ iter {int(state.it)}] worst split-R-hat: {stat}"
                   f" | burned-window worst {float(np.max(rb)):.2f}",
                   flush=True)
-            if (args.stop_when_converged > 0 and args.require_rhat > 0
+            # safety margin on the EXCESS over 1.0 (not the raw gate):
+            # 0.98 * 1.01 < 1.0 would make a tight gate unreachable —
+            # split-R-hat essentially never dips below 1.0
+            stop_bar = 1.0 + 0.98 * (args.require_rhat - 1.0)
+            if (args.stop_when_converged > 0 and args.require_rhat > 1.0
                     and acc.shape[0] - nb >= 100
-                    and float(np.max(rb)) < 0.98 * args.require_rhat):
+                    and float(np.max(rb)) < stop_bar):
                 stop_streak["n"] += 1
                 if stop_streak["n"] >= args.stop_when_converged:
                     print(f"  [seg @ iter {int(state.it)}] EARLY STOP: "
                           f"burned-window worst split-R-hat under "
-                          f"{0.98 * args.require_rhat:.3f} for "
+                          f"{stop_bar:.3f} for "
                           f"{stop_streak['n']} consecutive segments",
                           flush=True)
                     return True

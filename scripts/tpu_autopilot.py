@@ -210,6 +210,8 @@ def main(argv=None):
         # probe in the production geometry: tree depth measured in theta
         # space does not transfer to the power-logit space the campaign
         # actually samples in
+        if args.mass_file is not None:
+            probe_cmd += ["--mass-file", args.mass_file]
         if args.power is not None:
             probe_cmd += ["--power", args.power]
         if args.delta_target is not None:
@@ -218,10 +220,15 @@ def main(argv=None):
             probe_cmd += ["--eps-floor", str(args.eps_floor)]
         if args.eps_ceil is not None:
             probe_cmd += ["--eps-ceil", str(args.eps_ceil)]
+        # a stale metadata file from an earlier probe must not silently
+        # supply the depth when this probe crashed before writing its own
+        stale_meta = os.path.join(probe_out, "campaign_metadata.json")
+        if os.path.exists(stale_meta):
+            os.remove(stale_meta)
         rc, out = run_logged(probe_cmd, timeout=3600, tag="depth")
         mean_depth = None
         try:
-            with open(os.path.join(probe_out, "campaign_metadata.json")) as f:
+            with open(stale_meta) as f:
                 mean_depth = json.load(f).get("mean_tree_depth")
         except Exception:
             pass
