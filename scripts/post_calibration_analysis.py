@@ -78,6 +78,57 @@ def _sero_sensitivity_line(profile_path=None):
             f"variant C; PARITY.md 'ENE-COVID seroprevalence').")
 
 
+def _serovalid_block(serovalid_dir=None):
+    """Side-by-side comparison of the reference-bounds calibration against
+    the committed externally-validated (relaxed-bounds, ENE-COVID-consistent)
+    calibration in results/spain2020_serovalid/ — the usable artifact behind
+    the bound-sensitivity finding. Returns HTML or None when absent."""
+    import json
+    d = serovalid_dir or os.path.join(REPO, "results", "spain2020_serovalid")
+    meta_path = os.path.join(d, "serovalid_metadata.json")
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            m = json.load(f)
+        ref, unc, con = (m["reference_bounds_map"],
+                         m["unconstrained_relaxed_map"], m["constrained_map"])
+        rows = [
+            ("reference bounds (committed MAP)",
+             ref["ll_poisson_float64"], ref["sero_day64"], None),
+            ("relaxed bounds, unconstrained",
+             unc["ll_poisson_float64"], unc["sero_day64"],
+             unc["inside_ene_covid_ci"]),
+            ("relaxed bounds, ENE-COVID-constrained (committed serovalid)",
+             con["ll_poisson_float64"], con["sero_day64"],
+             con["inside_ene_covid_ci"]),
+        ]
+        lo_ci, hi_ci = m["sero_target"]["ci"]
+    except (KeyError, ValueError, TypeError):
+        return None
+    ll0 = rows[0][1]
+    body = "".join(
+        f"<tr><td>{html.escape(name)}</td><td>{ll:.1f}</td>"
+        f"<td>{ll - ll0:+.1f}</td><td>{100 * sero:.2f}%</td>"
+        f"<td>{'—' if ok is None else ('inside' if ok else 'outside')}"
+        f"</td></tr>"
+        for name, ll, sero, ok in rows)
+    files = ", ".join(sorted(
+        fn for fn in os.listdir(d) if not fn.startswith(".")))
+    return (
+        "<div class='verdict warn'><b>Externally-validated calibration "
+        "(committed artifact).</b> The bound-sensitivity finding is "
+        "shipped as a reproducible calibration in "
+        "<code>results/spain2020_serovalid/</code> "
+        f"(<code>{html.escape(files)}</code>): variant-C relaxed bounds "
+        "(severity floors /10, seed cap lifted) plus the ENE-COVID day-64 "
+        "point as a constraint. "
+        f"ENE-COVID 95% CI: [{100 * lo_ci:.1f}, {100 * hi_ci:.1f}]%."
+        "<table><tr><th>calibration mode</th><th>Poisson LL (f64)</th>"
+        "<th>&Delta;LL</th><th>day-64 sero</th><th>vs CI</th></tr>"
+        + body + "</table></div>")
+
+
 def plot_ppc(input_dir, fig_dir, figures):
     ppc_dir = os.path.join(input_dir, "posterior_predictive")
     for stream in STREAMS:
@@ -404,6 +455,9 @@ def main(argv=None) -> int:
                 parts.append(f"<div class='verdict warn'><b>Bound "
                              f"sensitivity (measured).</b> "
                              f"{html.escape(sens)}</div>")
+            sv = _serovalid_block()
+            if sv:
+                parts.append(sv)
     if summary is not None:
         parts.append("<h2>Aggregated metrics</h2>")
         parts.append(summary.to_html(index=False, float_format="%.5g"))
