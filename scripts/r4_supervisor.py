@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Round-4 unattended convergence supervisor.
+
+One detached process that owns the TPU for the whole round-4 headline job
+(round-3 VERDICT items 1, 2, 4, 5, 6), so the work completes even if the
+interactive session dies:
+
+  1. Wait for the tunneled TPU.
+  2. Cost-to-gate probe ladder (VERDICT item 5): depth 10/11/12 at 64
+     chains under the production geometry. Measured round-3 facts motivate
+     both axes: the campaign ran at 67.3k value_and_grads/s incl host at
+     256 chains vs 207.8k engine peak (latency-bound -> fewer chains buy
+     faster per-iteration wall at equal per-iteration R-hat decay), and
+     mean tree depth was 9.94/10 (the U-turn never fires -> within-tree
+     motion is ballistic, so a deeper tree buys ~2x decorrelation per 2x
+     leaves, vs sqrt(2) for more iterations).
+  3. MALA-vs-AM rematch on the noise-fixed engine (VERDICT item 4) while
+     the probes' compile cache is warm.
+  4. Pick the production depth from the measured projected time-to-gate
+     (exponential fit to the live burned-window split-R-hat trajectory x
+     measured steady-state seconds/iteration), then hand off to
+     ``tpu_autopilot.py`` (items 1, 6): staged logit-dense campaign, gate
+     1.05, early stop, extend-on-fail, promotion via refresh_artifact.py.
+
+Writes ``results/R4_SUPERVISOR.json`` after every phase.
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+SCRIPTS = os.path.join(REPO, "scripts")
+sys.path.insert(0, SCRIPTS)
+
+from tpu_autopilot import wait_for_tpu  # noqa: E402
+
+STATE_PATH = os.path.join(REPO, "results", "R4_SUPERVISOR.json")
+TRACE0 = os.path.join(REPO, "results", "spain2020_nuts_logitseed",
+                      "samples.npz")
+SEG_RE = re.compile(r"\[seg @ iter (\d+)\].*burned-window worst ([\d.]+)")
+
+
+def log(msg):
+    print(f"[r4sup {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def save_state(state):
+    os.makedirs(os.path.dirname(STATE_PATH), exist_ok=True)
+    with open(STATE_PATH + ".tmp", "w") as f:
+        json.dump(state, f, indent=2)
+    os.replace(STATE_PATH + ".tmp", STATE_PATH)
+
+
+def run_timed(cmd, timeout, tag):
+    """Stream cmd's output with wall timestamps; return (rc, [(t, line)])."""
+    log(f"{tag}: {' '.join(cmd)}")
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, cwd=REPO)
+    lines = []
+    start = time.time()
+    import threading
+
+    def _killer():
+        while proc.poll() is None:
+            if time.time() - start > timeout:
+                log(f"{tag}: TIMEOUT after {timeout}s — killing")
+                proc.kill()
+                return
+            time.sleep(5)
+
+    threading.Thread(target=_killer, daemon=True).start()
+    for line in proc.stdout:
+        t = time.time()
+        lines.append((t, line))
+        print(f"  |{tag} +{t - start:7.1f}s| {line}", end="", flush=True)
+    rc = proc.wait()
+    return rc, lines
+
+
+def probe_cmd(depth, iters, out):
+    return [PY, os.path.join(SCRIPTS, "nuts_campaign.py"),
+            "--chains", "64", "--iterations", str(iters), "--warmup", "20",
+            "--depth", str(depth), "--mass", "logit-dense",
+            "--power", "auto", "--delta-target", "0.8",
+            "--eps-floor", "1e-3", "--eps-ceil", "1.3e-3",
+            "--trace", TRACE0, "--warm", TRACE0, "--seed", "41",
+            "--out", out]
+
+
+def parse_probe(depth, out_dir, lines, rc):
+    """Extract the decision inputs from a probe run."""
+    res = {"depth": depth, "rc": rc, "out": out_dir}
+    try:
+        with open(os.path.join(out_dir, "campaign_metadata.json")) as f:
+            meta = json.load(f)
+        res["mean_accept"] = meta.get("mean_accept")
+        res["mean_tree_depth"] = meta.get("mean_tree_depth")
+        res["wall_seconds"] = meta.get("wall_seconds")
+        res["max_rhat_final"] = meta.get("diagnostics", {}).get("max_rhat")
+    except Exception as e:  # metadata missing -> ineligible
+        res["meta_error"] = repr(e)
+        return res
+    segs = []
+    for t, line in lines:
+        m = SEG_RE.search(line)
+        if m:
+            segs.append((t, int(m.group(1)), float(m.group(2))))
+    res["n_seg_points"] = len(segs)
+    if len(segs) >= 3:
+        # steady-state s/iter over the LAST half of seg points (the first
+        # dispatch carries the compile; later dispatches are pure sampling)
+        half = segs[len(segs) // 2:]
+        dt = half[-1][0] - half[0][0]
+        dit = half[-1][1] - half[0][1]
+        if dit > 0 and dt > 0:
+            res["s_per_iter"] = dt / dit
+        # exponential fit to the excess-over-1 of the burned-window worst
+        r0, rl = segs[0][2], segs[-1][2]
+        it0, itl = segs[0][1], segs[-1][1]
+        if itl > it0 and r0 > 1.001 and rl > 1.001:
+            import math
+            res["rhat_first"], res["rhat_last"] = r0, rl
+            rate = (math.log(r0 - 1.0) - math.log(rl - 1.0)) / (itl - it0)
+            res["excess_decay_per_iter"] = rate
+            if rate > 1e-5 and "s_per_iter" in res:
+                iters_to_gate = math.log((rl - 1.0) / 0.04) / rate
+                res["proj_iters_to_gate"] = max(iters_to_gate, 0.0)
+                res["proj_seconds_to_gate"] = \
+                    res["proj_iters_to_gate"] * res["s_per_iter"]
+    return res
+
+
+def eligible(p):
+    return (p.get("rc") == 0
+            and p.get("mean_accept", 0.0) >= 0.5
+            and p.get("mean_tree_depth", 0.0) >= p["depth"] - 0.8
+            and "proj_seconds_to_gate" in p)
+
+
+def main():
+    state = {"status": "started", "t0": time.strftime("%F %T"),
+             "phases": {}}
+    save_state(state)
+    deadline = time.time() + 12 * 3600
+
+    if not wait_for_tpu(60, deadline):
+        state["status"] = "tpu_never_came_up"
+        save_state(state)
+        return 1
+    state["phases"]["tpu_up"] = time.strftime("%F %T")
+    save_state(state)
+
+    # ---- probe ladder ----------------------------------------------------
+    probes = []
+    for depth, iters in ((10, 100), (11, 100), (12, 80)):
+        out = os.path.join(REPO, "results", f"r4_probe_d{depth}")
+        rc, lines = run_timed(probe_cmd(depth, iters, out),
+                              timeout=3600, tag=f"probe_d{depth}")
+        p = parse_probe(depth, out, lines, rc)
+        probes.append(p)
+        state["phases"][f"probe_d{depth}"] = p
+        save_state(state)
+        log(f"probe d{depth}: {json.dumps({k: v for k, v in p.items() if k != 'out'})}")
+
+    ok = [p for p in probes if eligible(p)]
+    if ok:
+        best = min(ok, key=lambda p: p["proj_seconds_to_gate"])
+        depth, trace = best["depth"], os.path.join(best["out"], "samples.npz")
+    else:
+        # no probe produced a usable projection: fall back to the r18-proven
+        # depth and the committed seed trace
+        depth, trace = 10, TRACE0
+        d10 = next((p for p in probes if p["depth"] == 10), None)
+        if d10 and os.path.exists(os.path.join(d10["out"], "samples.npz")):
+            trace = os.path.join(d10["out"], "samples.npz")
+    decision = {"depth": depth, "trace": trace,
+                "eligible": [p["depth"] for p in ok]}
+    state["phases"]["decision"] = decision
+    with open(os.path.join(REPO, "results", "r4_probe_decision.json"),
+              "w") as f:
+        json.dump({"probes": probes, "decision": decision}, f, indent=2)
+    save_state(state)
+    log(f"decision: depth {depth}, trace {trace}")
+
+    # ---- MALA rematch (VERDICT item 4) ------------------------------------
+    rc, _ = run_timed([PY, os.path.join(SCRIPTS, "mala_rematch.py")],
+                      timeout=2400, tag="mala_rematch")
+    state["phases"]["mala_rematch"] = {"rc": rc}
+    save_state(state)
+
+    # ---- production campaign + promotion via the autopilot ----------------
+    cmd = [PY, os.path.join(SCRIPTS, "tpu_autopilot.py"),
+           "--skip-probes", "--depth", str(depth),
+           "--chains", "64", "--warmup", "150",
+           "--iterations", "3000", "--extend-by", "1500",
+           "--max-iterations", "12000",
+           "--mass", "logit-dense", "--power", "auto", "--stages", "2",
+           "--delta-target", "0.8",
+           "--eps-floor", "1e-3", "--eps-ceil", "1.3e-3",
+           "--stop-when-converged", "3",
+           "--trace", trace, "--warm", trace,
+           "--out", os.path.join(REPO, "results", "spain2020_nuts_r19"),
+           "--deadline-hours", "9", "--poll-secs", "60",
+           "--resume-existing"]
+    state["phases"]["autopilot_cmd"] = " ".join(cmd)
+    save_state(state)
+    rc, _ = run_timed(cmd, timeout=11 * 3600, tag="autopilot")
+    state["phases"]["autopilot"] = {"rc": rc}
+    state["status"] = "done" if rc == 0 else f"autopilot_rc_{rc}"
+    save_state(state)
+    log(f"supervisor finished: {state['status']}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
