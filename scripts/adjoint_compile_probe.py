@@ -1,128 +1,124 @@
 #!/usr/bin/env python
-"""Attribute the adjoint-kernel compile+first-run time (VERDICT r3 item 7).
+"""Adjoint compile-time ladder: what does the 2048-lane backward cost?
 
-BENCH history for ``compile_first_run_s.pallas_adjoint_scan`` at B=8192:
-r1 29.1 s -> r2 54.3 s -> r3 *209.7 s* (warm cache) — but the r3 COLD-cache
-run measured **50.8 s** for the identical program
-(BENCH_DETAILS_COLD.json). A warm persistent cache cannot be 4x slower than
-a cold one for the same compile, so the 209.7 s is suspected to be tunnel /
-device contention at measurement time, not a Mosaic compile regression from
-the r3 bwd_block_b 512 -> 2048 default.
+Round-3 VERDICT item: ``bench.py``'s warm-cache ``pallas_adjoint_scan``
+compile+first-run grew 29.1s (r1) -> 54.3s (r2) -> 209.7s (r3) at B=8192.
+Round 3 changed exactly one thing on that path: commit a2b7a3d made
+``build_objective_pallas_grad`` default to ``bwd_block_b=2048`` (backward
+kernel lanes 256 -> 1024, scoped VMEM raised to 96 MiB) for a measured
+1.18x gradient-throughput win. This probe isolates whether the Mosaic
+compile of the wide backward block is the regression, and what each width
+actually buys, by compiling the EXACT bench program (B=8192, 20-step
+scan over value_and_grad) at bwd_block_b in {512, 1024, 2048} — each in a
+fresh subprocess against a fresh compilation-cache dir, so every number is
+a true cold compile of just that program (the forward kernel and the rest
+of the pipeline compile identically in all three, so deltas are the
+backward kernel alone).
 
-This probe separates the three candidate costs, per backward width:
-  - trace+lower time (host only, no device),
-  - compile time (jit AOT ``.compile()``),
-  - first-dispatch time (device warmup / cache load),
-and repeats the measurement twice per width so a one-off tunnel stall is
-visible. Writes results/adjoint_compile_probe.json.
-
-Run on the real TPU:  python scripts/adjoint_compile_probe.py
+Writes results/adjoint_compile_probe.json and prints a markdown table.
 """
 
 import argparse
 import json
 import os
+import shutil
+import subprocess
 import sys
-import time
-
-import numpy as np
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
+
+CHILD = r"""
+import json, os, sys, time
+import numpy as np
+sys.path.insert(0, {repo!r})
+import jax
+import jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from mmidv1_tpu.calibration.param_space import REFLECT
+from mmidv1_tpu.cli.common import load_spain_pipeline
+from mmidv1_tpu.ops import build_objective_pallas_grad
+
+dtype = jnp.float32
+B, GSTEPS, BWD = {batch}, 20, {bwd}
+pipe = load_spain_pipeline({repo!r}, dtype=dtype)
+space, params, data, ts_cal = pipe.space, pipe.params, pipe.data, pipe.ts
+theta0 = space.extract(params).astype(dtype)
+thetas = theta0[None, :] + 0.01 * space.sigmas.astype(dtype) * \
+    jax.random.normal(jax.random.PRNGKey(1), (B, space.dim), dtype=dtype)
+vg = build_objective_pallas_grad(space, params, data, ts_cal,
+                                 substeps=3, tableau="cash_karp",
+                                 constraint_mode=REFLECT, dtype=dtype,
+                                 bwd_block_b=BWD)
+
+@jax.jit
+def scan_grads(key):
+    def body(acc, k):
+        t = thetas + 0.001 * jax.random.normal(k, thetas.shape, dtype)
+        v, g = vg(t)
+        return acc + v.sum() + g.sum(), None
+    acc, _ = jax.lax.scan(body, jnp.zeros((), dtype),
+                          jax.random.split(key, GSTEPS))
+    return acc
+
+t0 = time.perf_counter()
+scan_grads(jax.random.PRNGKey(7)).block_until_ready()
+compile_s = time.perf_counter() - t0
+times = []
+for i in range(3):
+    t0 = time.perf_counter()
+    scan_grads(jax.random.PRNGKey(8 + i)).block_until_ready()
+    times.append(time.perf_counter() - t0)
+dt = float(np.median(times)) / GSTEPS
+print("RESULT " + json.dumps({{"bwd_block_b": BWD,
+                               "compile_first_run_s": compile_s,
+                               "grad_evals_per_sec": B / dt}}))
+"""
 
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--batch", type=int, default=8192)
-    p.add_argument("--widths", type=int, nargs="+", default=[512, 1024, 2048])
-    p.add_argument("--repeats", type=int, default=2)
-    p.add_argument("--steps", type=int, default=20,
-                   help="scan length for the throughput row")
-    p.add_argument("--cold", action="store_true",
-                   help="fresh temp compilation cache (honest compile cost)")
-    p.add_argument("--out", default=os.path.join(REPO, "results",
-                                                 "adjoint_compile_probe.json"))
+    p.add_argument("--widths", type=int, nargs="+",
+                   default=[512, 1024, 2048])
+    p.add_argument("--out", default=os.path.join(
+        REPO, "results", "adjoint_compile_probe.json"))
     args = p.parse_args(argv)
 
-    import jax
-    if args.cold:
-        import atexit
-        import shutil
-        import tempfile
-        cache = tempfile.mkdtemp(prefix="jax_probe_cache_")
-        atexit.register(shutil.rmtree, cache, ignore_errors=True)
-    else:
-        cache = os.path.join(REPO, ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    import jax.numpy as jnp
-
-    from mmidv1_tpu.calibration.param_space import REFLECT
-    from mmidv1_tpu.cli.common import load_spain_pipeline
-    from mmidv1_tpu.ops import build_objective_pallas_grad
-
-    dev = jax.devices()[0]
-    print(f"device: {dev.platform} / {dev.device_kind}  "
-          f"cache: {'COLD ' + cache if args.cold else 'warm'}", flush=True)
-    if dev.platform != "tpu":
-        print("not a TPU — the Mosaic compile path is what's being measured;"
-              " aborting")
-        return 1
-
-    dtype = jnp.float32
-    pipe = load_spain_pipeline(REPO, dtype=dtype)
-    space = pipe.space
-    B = args.batch
-    theta0 = jnp.asarray(space.extract(pipe.params), dtype)
-    thetas = jnp.tile(theta0[None], (B, 1)) * \
-        (1.0 + 1e-4 * jax.random.normal(jax.random.PRNGKey(0),
-                                        (B, space.dim), dtype))
-
-    out = {"batch": B, "cache_mode": "cold" if args.cold else "warm",
-           "device": f"{dev.platform}/{dev.device_kind}", "widths": {}}
-    for w in args.widths:
-        rows = []
-        for rep in range(args.repeats):
-            vg = build_objective_pallas_grad(
-                space, pipe.params, pipe.data, pipe.ts, substeps=4,
-                tableau="dopri5", constraint_mode=REFLECT, dtype=dtype,
-                block_b=min(2048, B), bwd_block_b=w)
-
-            # vary a closure-invisible constant so each repeat is a fresh
-            # jit cache entry of the SAME program shape
-            shift = jnp.float32(rep * 1e-9)
-
-            def one(t, vg=vg, shift=shift):
-                v, g = vg(t + shift)
-                return v.sum() + g.sum()
-
-            f = jax.jit(one)
-            t0 = time.perf_counter()
-            lowered = f.lower(thetas)
-            t_lower = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            compiled = lowered.compile()
-            t_compile = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            compiled(thetas).block_until_ready()
-            t_first = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            compiled(thetas).block_until_ready()
-            t_steady = time.perf_counter() - t0
-            rows.append({"lower_s": t_lower, "compile_s": t_compile,
-                         "first_dispatch_s": t_first,
-                         "steady_dispatch_s": t_steady,
-                         "grads_per_s": B / t_steady})
-            print(f"bwd={w:5d} rep{rep}: lower {t_lower:6.1f}s  "
-                  f"compile {t_compile:6.1f}s  first {t_first:6.2f}s  "
-                  f"steady {t_steady:6.3f}s  ({B / t_steady:.3e} grads/s)",
-                  flush=True)
-        out["widths"][str(w)] = rows
+    rows = []
+    for bwd in args.widths:
+        cache = tempfile.mkdtemp(prefix=f"adj_probe_{bwd}_")
+        try:
+            code = CHILD.format(repo=REPO, cache=cache,
+                                batch=args.batch, bwd=bwd)
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=1800, cwd=REPO)
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("RESULT ")), None)
+            if line is None:
+                rows.append({"bwd_block_b": bwd, "error":
+                             (r.stderr or "no output").strip()[-500:]})
+            else:
+                rows.append(json.loads(line[len("RESULT "):]))
+        except subprocess.TimeoutExpired:
+            rows.append({"bwd_block_b": bwd, "error": "timeout 1800s"})
+        finally:
+            shutil.rmtree(cache, ignore_errors=True)
+        print(rows[-1], flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
-    print(f"wrote {args.out}")
+        json.dump({"batch": args.batch, "rows": rows}, f, indent=2)
+    print("\n| bwd_block_b | cold compile+first run | grad evals/s |")
+    print("|---|---|---|")
+    for row in rows:
+        if "error" in row:
+            print(f"| {row['bwd_block_b']} | ERROR | {row['error'][:60]} |")
+        else:
+            print(f"| {row['bwd_block_b']} | {row['compile_first_run_s']:.1f}s "
+                  f"| {row['grad_evals_per_sec']:.3e} |")
     return 0
 
 
