@@ -124,6 +124,19 @@ def main(argv=None) -> int:
             batch_size=1024, substeps=int(cmeta.get("substeps", 4)),
             tableau=str(cmeta.get("tableau", "dopri5")), seed=args.seed)
         print(f"report over {out['n_draws']} draws -> {analysis_dir}")
+        # the committed artifact's figures + analysis_report.html render
+        # FROM the analysis tree (post_calibration_analysis.py); without
+        # this step a promotion would leave the HTML report showing the
+        # previous posterior's figures over the new CSVs
+        import subprocess
+        rc = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "post_calibration_analysis.py"),
+             "--input", analysis_dir]).returncode
+        if rc != 0:
+            print(f"WARNING: figure/HTML regeneration exited rc={rc}")
+            return rc
+        print(f"figures + analysis_report.html regenerated")
     return 0
 
 

@@ -62,7 +62,8 @@ def wait_for_tpu(poll_secs, deadline):
     return False
 
 
-def run_logged(cmd, timeout, tag, silence_timeout=1800):
+def run_logged(cmd, timeout, tag, silence_timeout=1800,
+               startup_marker=None, startup_timeout=600):
     """Run cmd streaming output to stdout; return (rc, full_output).
 
     A reader THREAD drains stdout so the wall-clock watchdog fires even when
@@ -70,6 +71,17 @@ def run_logged(cmd, timeout, tag, silence_timeout=1800):
     printing — a blocking readline in the main loop would never see the
     timeout). The child is killed after `timeout` seconds total or
     `silence_timeout` seconds without a line of output.
+
+    `startup_marker`: the axon tunnel has a wedge mode (observed 2026-08-20,
+    three consecutive campaign processes) where a client that connects
+    during session churn blocks FOREVER on its first real device RPC —
+    before any compile begins — while fresh probe processes succeed, so
+    `tpu_up()` cannot see it. Startup prints arrive within ~2-6 min on a
+    free core; legitimate compiles are silent for 10-30 min but only START
+    after the startup prints. Until `startup_marker` appears in the child's
+    output the silence budget is therefore `startup_timeout` (default 600 s)
+    instead of `silence_timeout` — a wedged child is killed in minutes and
+    the caller's retry loop resumes from the checkpoint.
     """
     import queue
     import threading
@@ -87,6 +99,7 @@ def run_logged(cmd, timeout, tag, silence_timeout=1800):
     threading.Thread(target=reader, daemon=True).start()
     lines = []
     start = last_line = time.time()
+    started_up = startup_marker is None
     killed = None
     while True:
         try:
@@ -98,12 +111,18 @@ def run_logged(cmd, timeout, tag, silence_timeout=1800):
         if item:
             lines.append(item)
             last_line = time.time()
+            if not started_up and startup_marker in item:
+                started_up = True
             print(f"  |{tag}| {item}", end="", flush=True)
         now = time.time()
+        quiet_budget = silence_timeout if started_up else startup_timeout
         if now - start > timeout:
             killed = f"TIMEOUT after {timeout}s"
-        elif now - last_line > silence_timeout:
-            killed = f"SILENT for {silence_timeout}s"
+        elif now - last_line > quiet_budget:
+            killed = (f"SILENT for {quiet_budget}s"
+                      + ("" if started_up else
+                         f" before startup marker {startup_marker!r}"
+                         " (wedged tunnel session)"))
         if killed:
             log(f"{tag}: {killed} — killing pid {proc.pid}")
             proc.kill()
@@ -225,7 +244,8 @@ def main(argv=None):
         stale_meta = os.path.join(probe_out, "campaign_metadata.json")
         if os.path.exists(stale_meta):
             os.remove(stale_meta)
-        rc, out = run_logged(probe_cmd, timeout=3600, tag="depth")
+        rc, out = run_logged(probe_cmd, timeout=3600, tag="depth",
+                             startup_marker="gradient engine:")
         mean_depth = None
         try:
             with open(stale_meta) as f:
@@ -291,7 +311,8 @@ def main(argv=None):
         # once by refresh_artifact --report at promotion
         if resume:
             cmd.append("--resume")
-        rc, out = run_logged(cmd, timeout=7 * 3600, tag=f"prod{attempt}")
+        rc, out = run_logged(cmd, timeout=7 * 3600, tag=f"prod{attempt}",
+                             startup_marker="gradient engine:")
         diag = {}
         try:
             with open(os.path.join(args.out, "campaign_metadata.json")) as f:
@@ -323,7 +344,10 @@ def main(argv=None):
         resume = os.path.exists(os.path.join(args.out, "nuts_state.npz"))
         log(f"campaign attempt {attempt} died rc={rc}; "
             f"{'resuming' if resume else 'restarting'} when TPU is back")
-        time.sleep(30)
+        # a killed client's tunnel session lingers server-side for a while
+        # and wedges the NEXT client's first RPC (the 2026-08-20 wedge mode);
+        # give it time to expire before reconnecting
+        time.sleep(90)
 
     # ---- stage 4: promotion ----------------------------------------------
     if gate_ok:
