@@ -165,16 +165,16 @@ def main(argv=None) -> int:
                    help="'cpu' forces the CPU backend (smoke tests; the "
                         "JAX_PLATFORMS env var cannot override the axon "
                         "sitecustomize, so this must be a config update)")
-    p.add_argument("--max-dispatch-seconds", type=float, default=75.0,
+    p.add_argument("--max-dispatch-seconds", type=float, default=50.0,
                    help="upper bound on the ESTIMATED device time of one "
                         "XLA dispatch; --segments is raised (never lowered) "
                         "so every stage's dispatches fit. Measured on the "
                         "tunneled v5e (2026-08-19): dispatches of ~260 s "
                         "die UNAVAILABLE ~150 s in (13/13 attempts), while "
                         "55 s dispatches and 1-iteration (~15 s) dispatches "
-                        "always survive — the tunnel enforces an ~2 min "
-                        "per-RPC deadline, so a campaign must be cut into "
-                        "dispatches well under it")
+                        "always survive. 2026-08-20: ~87 s dispatches died "
+                        "4/4 at the FIRST execute RPC, so the deadline is "
+                        "nearer 90 s than 2 min — stay at/below ~50 s")
     args = p.parse_args(argv)
 
     def dispatch_bounded_segments(n_iters: int) -> int:
@@ -182,10 +182,12 @@ def main(argv=None) -> int:
 
         Conservative model: every tree runs to the depth CAP (2^depth
         value-and-grads per chain per iteration) at the measured tunneled
-        throughput floor of ~25k value-and-grads/s (probe_shortseg: 512
-        chains x depth 10 -> ~13-16 s device per iteration).
+        throughput floor of ~20k value-and-grads/s (probe_shortseg: 512
+        chains x depth 10 -> ~13-16 s device per iteration; r4_probe_d10:
+        64 chains x depth 10 -> 3.12 s/iter = 21k v&g/s, so the rate barely
+        drops at small chain counts and 20k is a safe floor for both).
         """
-        vag_rate = 25000.0
+        vag_rate = 20000.0
         iter_s = (2.0 ** args.depth) * args.chains / vag_rate
         per = max(1, int(args.max_dispatch_seconds / max(iter_s, 1e-9)))
         return max(1, -(-n_iters // per))
@@ -220,6 +222,26 @@ def main(argv=None) -> int:
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}")
+    if dev.platform == "tpu":
+        # The axon tunnel has a wedge mode where a client that connected
+        # during session churn answers jax.devices() but then blocks FOREVER
+        # on its first real device RPC (observed repeatedly 2026-08-20).
+        # Probe that first RPC under a hard timer: a wedged process exits
+        # rc=7 in ~2 min — restartable by the autopilot — instead of tying
+        # up the tunnel until an external silence watchdog fires at 10 min.
+        import threading
+        _rpc_ok = threading.Event()
+
+        def _wedge_bail():
+            if not _rpc_ok.wait(120.0):
+                print("first device RPC unresponsive for 120s — wedged "
+                      "tunnel session, exiting rc=7", flush=True)
+                os._exit(7)
+
+        threading.Thread(target=_wedge_bail, daemon=True).start()
+        jax.block_until_ready(jnp.zeros((8,), dtype) + 1.0)
+        _rpc_ok.set()
+        print("device responsive", flush=True)
     pipe = load_spain_pipeline(REPO, dtype=dtype)
     data, params, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
     M = params.M_baseline

@@ -33,6 +33,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PY = sys.executable
 DONE_PATH = os.path.join(REPO, "results", "AUTOPILOT_DONE.json")
 
+def settle(tag):
+    """Wait out the previous tunnel session's teardown before launching.
+
+    The axon tunnel serves ONE client session at a time, and a client whose
+    handshake races a previous session's teardown (clean exit OR kill)
+    wedges forever on its first device RPC (observed repeatedly on
+    2026-08-20). Every child launch therefore waits for the previous
+    session — including the tpu_up() probe's own — to expire. The startup
+    watchdog in run_logged plus the campaign's own first-RPC fast-fail
+    catch the races this window still loses. Read at call time so tests
+    (and operators) can set AXON_SETTLE_SECONDS=0.
+    """
+    secs = int(os.environ.get("AXON_SETTLE_SECONDS", "150"))
+    if secs > 0:
+        log(f"{tag}: settling {secs}s (axon single-session teardown)")
+        time.sleep(secs)
+
 
 def log(msg):
     print(f"[autopilot {time.strftime('%H:%M:%S')}] {msg}", flush=True)
@@ -86,6 +103,7 @@ def run_logged(cmd, timeout, tag, silence_timeout=1800,
     import queue
     import threading
 
+    settle(tag)
     log(f"{tag}: {' '.join(cmd)}")
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.STDOUT, text=True, cwd=REPO)

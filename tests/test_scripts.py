@@ -500,6 +500,9 @@ def test_autopilot_run_logged_kills_silent_child():
     sys.path.insert(0, SCRIPTS)
     import tpu_autopilot
 
+    # run_logged settles AXON_SETTLE_SECONDS before each launch (tunnel
+    # teardown races); zero it so the watchdog timing is what's measured
+    os.environ["AXON_SETTLE_SECONDS"] = "0"
     t0 = time.time()
     rc, out = tpu_autopilot.run_logged(
         [sys.executable, "-c",
@@ -540,7 +543,8 @@ def test_autopilot_state_machine(tmp_path, monkeypatch):
         (0, "artifacts promoted"),                 # refresh_artifact
     ])
 
-    def fake_run_logged(cmd, timeout, tag, silence_timeout=1800):
+    def fake_run_logged(cmd, timeout, tag, silence_timeout=1800,
+                        startup_marker=None, startup_timeout=600):
         rc, text = next(outcomes)
         calls.append((tag, cmd, rc))
         if "nuts_campaign.py" in cmd[1]:
