@@ -222,26 +222,10 @@ def main(argv=None) -> int:
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}")
-    if dev.platform == "tpu":
-        # The axon tunnel has a wedge mode where a client that connected
-        # during session churn answers jax.devices() but then blocks FOREVER
-        # on its first real device RPC (observed repeatedly 2026-08-20).
-        # Probe that first RPC under a hard timer: a wedged process exits
-        # rc=7 in ~2 min — restartable by the autopilot — instead of tying
-        # up the tunnel until an external silence watchdog fires at 10 min.
-        import threading
-        _rpc_ok = threading.Event()
-
-        def _wedge_bail():
-            if not _rpc_ok.wait(120.0):
-                print("first device RPC unresponsive for 120s — wedged "
-                      "tunnel session, exiting rc=7", flush=True)
-                os._exit(7)
-
-        threading.Thread(target=_wedge_bail, daemon=True).start()
-        jax.block_until_ready(jnp.zeros((8,), dtype) + 1.0)
-        _rpc_ok.set()
-        print("device responsive", flush=True)
+    # fast-fail a wedged tunnel session (rc=7, retryable by the autopilot)
+    # before committing to the pipeline's long silent compile
+    from mmidv1_tpu.utils.tpu_guard import assert_first_rpc_responsive
+    assert_first_rpc_responsive()
     pipe = load_spain_pipeline(REPO, dtype=dtype)
     data, params, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
     M = params.M_baseline

@@ -112,6 +112,10 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(REPO, ".jax_cache"))
+        # fast-fail a wedged tunnel session (rc=7, retryable by the
+        # autopilot) before committing to the report's long silent compile
+        from mmidv1_tpu.utils.tpu_guard import assert_first_rpc_responsive
+        assert_first_rpc_responsive()
         from mmidv1_tpu.analysis import generate_full_report
         from mmidv1_tpu.cli.common import load_spain_pipeline
         pipe = load_spain_pipeline()

@@ -367,12 +367,23 @@ def main(argv=None):
         # give it time to expire before reconnecting
         time.sleep(90)
 
-    # ---- stage 4: promotion ----------------------------------------------
+    # ---- stage 4: promotion (retry — a converged campaign must not be
+    # lost to one wedged/dropped tunnel session during the report) ---------
     if gate_ok:
-        rc, out = run_logged(
-            [PY, os.path.join(REPO, "scripts", "refresh_artifact.py"),
-             args.out, "--report"], timeout=3600, tag="promote")
-        summary["stages"]["promotion"] = {"rc": rc}
+        rc = -1
+        for p_try in range(1, 5):
+            if not tpu_up():
+                wait_for_tpu(args.poll_secs, deadline + 3600)
+            rc, out = run_logged(
+                [PY, os.path.join(REPO, "scripts", "refresh_artifact.py"),
+                 args.out, "--report"], timeout=3600,
+                tag=f"promote{p_try}")
+            summary["stages"][f"promotion_attempt_{p_try}"] = {"rc": rc}
+            checkpoint_summary()
+            if rc == 0:
+                break
+            log(f"promotion attempt {p_try} failed rc={rc}; "
+                f"{'retrying' if p_try < 4 else 'giving up'}")
         summary["status"] = "converged_and_promoted" if rc == 0 \
             else "converged_promotion_failed"
     else:

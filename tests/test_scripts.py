@@ -491,6 +491,14 @@ def test_production_campaign_mh_resume_covers_presume_segments(tmp_path):
     trace = (tmp_path / "posterior_trace.csv").read_text().splitlines()
     assert len(trace) - 1 == sum(x.shape[0] * x.shape[1] for x in seg)
 
+def test_tpu_guard_noop_off_tpu():
+    """The first-RPC wedge guard must be a clean no-op on CPU backends
+    (it only probes tunneled-TPU sessions) and must not leave a timer
+    thread that could os._exit the process later."""
+    from mmidv1_tpu.utils.tpu_guard import assert_first_rpc_responsive
+    assert_first_rpc_responsive(timeout_s=0.01)
+
+
 def test_autopilot_run_logged_kills_silent_child():
     """The autopilot's watchdog must kill a child that hangs WITHOUT
     printing (a dead tunneled-TPU RPC blocks silently — a blocking readline
@@ -540,7 +548,8 @@ def test_autopilot_state_machine(tmp_path, monkeypatch):
         (-9, "tunnel died"),                       # crash, no checkpoint yet
         (3, "CONVERGENCE GATE FAILED"),            # completed, not converged
         (0, "convergence gate passed"),            # converged
-        (0, "artifacts promoted"),                 # refresh_artifact
+        (7, "wedged tunnel session"),              # promote hits a wedge...
+        (0, "artifacts promoted"),                 # ...and is retried
     ])
 
     def fake_run_logged(cmd, timeout, tag, silence_timeout=1800,
@@ -564,7 +573,8 @@ def test_autopilot_state_machine(tmp_path, monkeypatch):
                              "--trace", "unused.npz"])
     assert rc == 0
     tags = [c[0] for c in calls]
-    assert tags == ["prod1", "prod2", "prod3", "promote"]
+    # a wedged promotion session must be retried, not declared fatal
+    assert tags == ["prod1", "prod2", "prod3", "promote1", "promote2"]
     # attempt 1 crashed with no checkpoint -> attempt 2 is a FRESH restart
     assert "--resume" not in calls[1][1]
     assert "4000" in calls[1][1]
@@ -575,6 +585,8 @@ def test_autopilot_state_machine(tmp_path, monkeypatch):
     summary = json.loads(done.read_text())
     assert summary["status"] == "converged_and_promoted"
     assert summary["stages"]["production_attempt_3"]["max_rhat"] == 1.01
+    assert summary["stages"]["promotion_attempt_1"]["rc"] == 7
+    assert summary["stages"]["promotion_attempt_2"]["rc"] == 0
 
     # argparse error (rc 2) aborts the loop: not converged, exit 1
     calls.clear()
