@@ -161,6 +161,17 @@ def main(argv=None) -> int:
                         "0 = run every iteration. The end-of-run gate still "
                         "re-checks the full split+rank diagnostics, and a "
                         "later --resume continues bit-exactly")
+    p.add_argument("--serovalid", action="store_true",
+                   help="sample the externally-validated (ENE-COVID-"
+                        "consistent) problem instead of the reference-"
+                        "bounds one: variant-C relaxed bounds "
+                        "(calibration/serovalid.py, same derivation as "
+                        "scripts/serovalid_pipeline.py) + the ENE-COVID "
+                        "seroprevalence Gaussian data term added to the "
+                        "Poisson stream log-likelihood")
+    p.add_argument("--sero-se", type=float, default=0.0028,
+                   help="sero-term standard error (serovalid mode); the "
+                        "default is the ENE-COVID round-1 survey CI width")
     p.add_argument("--platform", default="default", choices=["default", "cpu"],
                    help="'cpu' forces the CPU backend (smoke tests; the "
                         "JAX_PLATFORMS env var cannot override the axon "
@@ -230,9 +241,28 @@ def main(argv=None) -> int:
     data, params, space, ts = pipe.data, pipe.params, pipe.space, pipe.ts
     M = params.M_baseline
 
-    loglik = build_objective(space, params, data, ts, substeps=args.substeps,
-                             tableau=args.tableau,
-                             constraint_mode=REFLECT, dtype=dtype)
+    sero_pen = None
+    if args.serovalid:
+        from mmidv1_tpu.calibration.serovalid import (make_sero_penalty,
+                                                      relax_bounds)
+        space, relaxed_idx = relax_bounds(space)
+        sero_pen = make_sero_penalty(space, params, data, ts,
+                                     substeps=args.substeps,
+                                     tableau=args.tableau, se=args.sero_se,
+                                     constraint_mode=REFLECT, dtype=dtype)
+        print(f"serovalid mode: variant-C relaxed bounds "
+              f"({len(relaxed_idx)} parameters) + ENE-COVID sero term "
+              f"(se {args.sero_se})")
+
+    ll_stream = build_objective(space, params, data, ts,
+                                substeps=args.substeps,
+                                tableau=args.tableau,
+                                constraint_mode=REFLECT, dtype=dtype)
+    if sero_pen is None:
+        loglik = ll_stream
+    else:
+        def loglik(theta):
+            return ll_stream(theta) + sero_pen(theta)
     vag = None
     if args.engine == "pallas" and dev.platform == "tpu":
         from mmidv1_tpu.ops import build_objective_pallas_grad
@@ -240,7 +270,21 @@ def main(argv=None) -> int:
             space, params, data, ts, substeps=args.substeps,
             tableau=args.tableau, constraint_mode=REFLECT, dtype=dtype,
             block_b=min(2048, args.chains), bwd_block_b=args.bwd_block)
-        print("gradient engine: Pallas forward+adjoint kernels")
+        if sero_pen is not None:
+            # the Pallas kernels compute the Poisson-stream v&g; the sero
+            # term (one extra fixed-grid solve) rides XLA autodiff and the
+            # two gradients add — exact, engine-agnostic composition
+            pen_vag = jax.vmap(jax.value_and_grad(sero_pen))
+            stream_vag = vag
+
+            def vag(thetas):
+                v1, g1 = stream_vag(thetas)
+                v2, g2 = pen_vag(thetas)
+                return v1 + v2, g1 + g2
+            print("gradient engine: Pallas forward+adjoint kernels "
+                  "+ XLA sero-term grads")
+        else:
+            print("gradient engine: Pallas forward+adjoint kernels")
     else:
         print("gradient engine: XLA jax.value_and_grad")
 
@@ -779,6 +823,14 @@ def main(argv=None) -> int:
                             "per_parameter": diag},
             "seed": args.seed,
             "device": f"{dev.platform}/{dev.device_kind}"}
+    if args.serovalid:
+        # logps in samples.npz are the JOINT (Poisson + sero term) density;
+        # best_logl_float64 above stays plain-Poisson for comparability
+        from mmidv1_tpu.calibration.serovalid import (RUNUP_LO, SEED_CAP,
+                                                      SEVERITY_FLOOR_DIV)
+        meta["serovalid"] = {"sero_se": args.sero_se,
+                             "seed_cap": SEED_CAP, "runup_lo": RUNUP_LO,
+                             "severity_floor_div": SEVERITY_FLOOR_DIV}
     with open(os.path.join(args.out, "campaign_metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
     print(f"artifacts -> {args.out}")

@@ -54,6 +54,14 @@ def main(argv=None) -> int:
     flat = samples.reshape(T * B, d)
     flat_lp = logps.reshape(T * B)
 
+    if cmeta.get("serovalid") and "serovalid" not in os.path.basename(
+            os.path.normpath(args.artifact)):
+        raise SystemExit(
+            "refusing: this campaign sampled the serovalid (relaxed-bounds "
+            "+ sero-term) problem; promoting it into the reference-bounds "
+            "artifact would silently swap the posterior's meaning. Pass "
+            "--artifact results/spain2020_serovalid (or similar).")
+
     diag = cmeta.get("diagnostics", {})
     print(f"campaign: {cmeta.get('sampler')} {T} draws x {B} chains; "
           f"max split-R-hat {diag.get('max_rhat', float('nan')):.3f} "

@@ -43,8 +43,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-SEVERITY_PREFIXES = ("p_", "h_0", "h_1", "h_2", "h_3", "icu_",
-                     "d_H_", "d_ICU_")
+# shared with nuts_campaign --serovalid via the package module
+from mmidv1_tpu.calibration.serovalid import SEVERITY_PREFIXES  # noqa: E402
 
 
 def main(argv=None) -> int:
@@ -122,18 +122,14 @@ def main(argv=None) -> int:
     i_run = names.index("runup_days")
 
     # ---- the relaxed (variant C) bounds -----------------------------------
+    from mmidv1_tpu.calibration.serovalid import relax_bounds
     lo0 = np.asarray(space0.lower, np.float64)
     hi0 = np.asarray(space0.upper, np.float64)
-    lo = lo0.copy()
-    hi = hi0.copy()
-    hi[i_seed] = args.seed_cap
-    lo[i_run] = args.runup_lo
-    for i, n in enumerate(names):
-        if n.startswith(SEVERITY_PREFIXES):
-            lo[i] = lo[i] / args.severity_floor_div
-    space = dataclasses.replace(space0, lower=lo, upper=hi)
-    relaxed = [i for i in range(len(names))
-               if lo[i] != lo0[i] or hi[i] != hi0[i]]
+    space, relaxed = relax_bounds(
+        space0, seed_cap=args.seed_cap, runup_lo=args.runup_lo,
+        severity_floor_div=args.severity_floor_div)
+    lo = np.asarray(space.lower, np.float64)
+    hi = np.asarray(space.upper, np.float64)
 
     ll_raw = build_objective(space, base, data, ts, substeps=args.substeps,
                              tableau=args.tableau, constraint_mode=REFLECT,
@@ -150,15 +146,21 @@ def main(argv=None) -> int:
                               substeps=args.substeps, tableau=args.tableau)
         return params, y0, traj
 
+    from mmidv1_tpu.calibration.serovalid import make_sero_penalty
+
     def sero_of(theta):
         _, _, traj = solve_traj(theta)
         return (total_pop - jnp.sum(traj[t_idx, 0])) / total_pop
 
     def make_joint(se):
+        pen = make_sero_penalty(space, base, data, ts,
+                                substeps=args.substeps,
+                                tableau=args.tableau, se=se,
+                                constraint_mode=REFLECT, dtype=jnp.float64)
+
         def joint(theta):
             # Poisson stream LL + ENE-COVID pulled with strength 1/se^2
-            return ll_raw(theta) - \
-                0.5 * ((sero_of(theta) - ENE_COVID_MEAN) / se) ** 2
+            return ll_raw(theta) + pen(theta)
         return joint
 
     ll_jit = jax.jit(ll_raw)

@@ -198,6 +198,40 @@ def test_nuts_campaign_smoke(tmp_path):
 
 @pytest.mark.slow
 @pytest.mark.campaign
+def test_nuts_campaign_serovalid_smoke(tmp_path):
+    """--serovalid end-to-end on CPU: the campaign samples the relaxed-
+    bounds + sero-term joint, records the serovalid block in its metadata,
+    and refresh_artifact REFUSES to promote it into the reference-bounds
+    artifact (the posteriors answer different questions)."""
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import json
+
+    import nuts_campaign
+
+    sv = os.path.join(REPO, "results", "spain2020_serovalid")
+    if not os.path.exists(os.path.join(sv, "laplace_serovalid.npz")):
+        pytest.skip("serovalid artifact not built")
+    rc = nuts_campaign.main([
+        "--chains", "2", "--iterations", "4", "--warmup", "2",
+        "--depth", "2", "--substeps", "2", "--engine", "xla",
+        "--serovalid",
+        "--laplace", os.path.join(sv, "laplace_serovalid.npz"),
+        "--init", os.path.join(sv, "calibrated_parameters.txt"),
+        "--out", str(tmp_path)])
+    assert rc == 0
+    meta = json.loads((tmp_path / "campaign_metadata.json").read_text())
+    assert meta["serovalid"]["severity_floor_div"] == 10.0
+    import refresh_artifact
+    with pytest.raises(SystemExit, match="serovalid"):
+        refresh_artifact.main([str(tmp_path),
+                               "--artifact", str(tmp_path / "ref_art")])
+
+
+@pytest.mark.slow
+@pytest.mark.campaign
 def test_nuts_campaign_early_stop(tmp_path, capsys):
     """--stop-when-converged ends the final stage once the live burned-window
     R-hat has cleared the gate for N consecutive segments: the run stops

@@ -105,6 +105,58 @@ def test_relaxed_bounds_derive_from_reference(meta, relaxed_problem):
     assert relaxed_seen == relaxed_recorded
 
 
+def test_relax_bounds_module_matches_committed_file(relaxed_problem):
+    """``calibration.serovalid.relax_bounds`` (what nuts_campaign
+    --serovalid samples under) must reproduce the committed
+    param_bounds_serovalid.txt exactly — one derivation, two consumers."""
+    from mmidv1_tpu.calibration.param_space import ParameterSpace
+    from mmidv1_tpu.calibration.serovalid import relax_bounds
+    from mmidv1_tpu.data import (read_param_bounds, read_params_to_calibrate,
+                                 read_proposal_sigmas)
+
+    space_file, base, *_ = relaxed_problem
+    cfg = os.path.join(REPO, "data", "configuration")
+    names = read_params_to_calibrate(
+        os.path.join(cfg, "params_to_calibrate.txt"))
+    bounds = read_param_bounds(os.path.join(cfg, "param_bounds.txt"))
+    sigmas = read_proposal_sigmas(os.path.join(cfg, "proposal_sigmas.txt"))
+    ref_space = ParameterSpace.create(names, bounds, sigmas, base)
+    derived, relaxed_idx = relax_bounds(ref_space)
+    np.testing.assert_allclose(np.asarray(derived.lower),
+                               np.asarray(space_file.lower), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(derived.upper),
+                               np.asarray(space_file.upper), rtol=1e-12)
+    assert len(relaxed_idx) > 0
+
+
+@pytest.mark.slow
+def test_sero_penalty_scores_the_committed_map(relaxed_problem, meta):
+    """The shared sero term evaluates the committed serovalid MAP to the
+    recorded day-64 seroprevalence, and its gradient is finite (it rides
+    XLA autodiff end to end — the composition nuts_campaign --serovalid
+    relies on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmidv1_tpu.calibration.objective import make_time_grid
+    from mmidv1_tpu.calibration.serovalid import make_sero_penalty
+
+    space, base, calib, data, M = relaxed_problem
+    ts = make_time_grid(float(np.asarray(base.runup_days)),
+                        data.n_data_points)
+    pen = make_sero_penalty(space, base, data, ts, substeps=4,
+                            tableau="dopri5", se=0.0028,
+                            dtype=jnp.float64)
+    theta = jnp.asarray(np.asarray(space.extract(calib), np.float64))
+    sero = float(jax.jit(pen.sero_of)(theta))
+    np.testing.assert_allclose(sero, meta["sero_day64"], rtol=5e-3)
+    val, grad = jax.jit(jax.value_and_grad(pen))(theta)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+    # inside the CI, the quadratic pull is small: |z| < 2 => |pen| < 2
+    assert abs(float(val)) < 2.0
+
+
 def test_calibrated_theta_needs_the_relaxation(relaxed_problem):
     """theta lives in the relaxed box, and at least one severity parameter
     sits BELOW the reference's floor — the relaxation is load-bearing."""
