@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Unattended finisher for a running NUTS campaign (round-4 headline job).
+
+Waits for an already-running ``nuts_campaign.py`` process (by pid) to exit,
+then completes the production pipeline without supervision:
+
+* campaign ended with the convergence gate PASSED (fresh
+  ``campaign_metadata.json`` with max(split, rank) R-hat < the gate and
+  real ESS) -> promote it into the committed artifact via
+  ``refresh_artifact.py --report`` (retry loop: a wedged tunnel session
+  must not cost us a converged posterior), then commit the refreshed
+  ``results/spain2020`` tree.
+* campaign ended unconverged or died mid-run -> hand off to
+  ``tpu_autopilot.py --resume-existing`` which extends the same
+  checkpointed run until the gate is met, promotes, and records
+  ``AUTOPILOT_DONE.json``; commit afterwards.
+
+This closes the round-3 verdict's top item unattended: the interactive
+session that launched the campaign does not have to survive until the
+gate. (Reference pipeline being finished here: production MCMC posterior
+-> PostCalibrationAnalyser, src/model/PostCalibrationAnalyser.cpp:53-148.)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from tpu_autopilot import log, run_logged, tpu_up, wait_for_tpu  # noqa: E402
+
+
+def pid_alive(pid):
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False
+
+
+def gate_state(out_dir, started_after, require_rhat=1.05, min_ess=400.0):
+    """(verdict, diag) where verdict in {passed, failed, missing}."""
+    meta_path = os.path.join(out_dir, "campaign_metadata.json")
+    try:
+        if os.path.getmtime(meta_path) < started_after:
+            return "missing", {}          # stale file from an earlier run
+        with open(meta_path) as f:
+            diag = json.load(f).get("diagnostics", {})
+    except (OSError, ValueError):
+        return "missing", {}
+    ok = (max(diag.get("max_rhat", 99), diag.get("max_rank_rhat", 99))
+          < require_rhat and diag.get("min_ess", 0) > min_ess)
+    return ("passed" if ok else "failed"), diag
+
+
+def commit(msg):
+    subprocess.run(["git", "add", "-A",
+                    "results/spain2020", "results/AUTOPILOT_DONE.json",
+                    "scripts", "docs"], cwd=REPO)
+    r = subprocess.run(["git", "commit", "-m", msg], cwd=REPO)
+    log(f"git commit rc={r.returncode}")
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("pid", type=int, help="running nuts_campaign.py pid")
+    p.add_argument("--out", default=os.path.join(
+        REPO, "results", "spain2020_nuts_r19"))
+    p.add_argument("--started-after", type=float, default=None,
+                   help="campaign start epoch (guards against stale "
+                        "metadata); default: now minus 24h")
+    p.add_argument("--iterations", type=int, default=2000,
+                   help="the running campaign's --iterations (extension "
+                        "attempts start from here)")
+    p.add_argument("--extend-by", type=int, default=700)
+    p.add_argument("--max-iterations", type=int, default=8000)
+    args = p.parse_args()
+    started_after = args.started_after or (time.time() - 24 * 3600)
+
+    log(f"waiting for campaign pid {args.pid} ({args.out})")
+    while pid_alive(args.pid):
+        time.sleep(20)
+    log(f"campaign pid {args.pid} exited")
+
+    verdict, diag = gate_state(args.out, started_after)
+    log(f"gate check: {verdict} "
+        f"(split {diag.get('max_rhat')}, rank {diag.get('max_rank_rhat')}, "
+        f"min ESS {diag.get('min_ess')})")
+
+    if verdict == "passed":
+        rc = -1
+        for p_try in range(1, 5):
+            if not tpu_up():
+                wait_for_tpu(120, time.time() + 4 * 3600)
+            rc, _ = run_logged(
+                [PY, os.path.join(REPO, "scripts", "refresh_artifact.py"),
+                 args.out, "--report"], timeout=3600,
+                tag=f"promote{p_try}")
+            if rc == 0:
+                break
+            log(f"promotion attempt {p_try} rc={rc}; retrying")
+        if rc == 0:
+            commit("Promote the converged NUTS posterior into the "
+                   "committed Spain-2020 artifact")
+            log("DONE: converged_and_promoted")
+            return 0
+        log("promotion failed after retries; leaving campaign for resume")
+        return 1
+
+    # unconverged or crashed: the autopilot's extension loop owns it now
+    nxt = args.iterations + (args.extend_by if verdict == "failed" else 0)
+    cmd = [PY, os.path.join(REPO, "scripts", "tpu_autopilot.py"),
+           "--skip-probes", "--depth", "10", "--chains", "64",
+           "--warmup", "100", "--segments", "134",
+           "--iterations", str(nxt),
+           "--extend-by", str(args.extend_by),
+           "--max-iterations", str(args.max_iterations),
+           "--mass", "logit-dense", "--power", "auto",
+           "--delta-target", "0.8",
+           "--eps-floor", "1e-3", "--eps-ceil", "1.3e-3",
+           "--trace", os.path.join(REPO, "results", "r4_probe_d10",
+                                   "samples.npz"),
+           "--warm", os.path.join(REPO, "results", "r4_probe_d10",
+                                  "samples.npz"),
+           "--stop-when-converged", "2",
+           "--out", args.out, "--resume-existing"]
+    log("handing off to tpu_autopilot: " + " ".join(cmd))
+    rc = subprocess.run(cmd, cwd=REPO).returncode
+    log(f"autopilot rc={rc}")
+    commit("Round-4 campaign continuation via autopilot "
+           f"(rc={rc}; see results/AUTOPILOT_DONE.json)")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
