@@ -60,9 +60,32 @@ def gate_state(out_dir, started_after, require_rhat=1.05, min_ess=400.0):
 def commit(msg):
     subprocess.run(["git", "add", "-A",
                     "results/spain2020", "results/AUTOPILOT_DONE.json",
+                    "results/mala_rematch.json",
+                    "results/adjoint_compile_probe.json",
                     "scripts", "docs"], cwd=REPO)
     r = subprocess.run(["git", "commit", "-m", msg], cwd=REPO)
     log(f"git commit rc={r.returncode}")
+
+
+def run_extras():
+    """TPU-blocked round-3 verdict items 4 + 7, run once the TPU is free:
+    the MALA-vs-AM rematch on the noise-fixed engine and the adjoint
+    compile-time ladder. Results JSONs are committed; the OPS_ANALYSIS
+    prose is updated by the next interactive session from those files."""
+    for tag, cmd, timeout in (
+            ("mala", [PY, os.path.join(REPO, "scripts", "mala_rematch.py")],
+             2700),
+            ("compile-ladder",
+             [PY, os.path.join(REPO, "scripts", "adjoint_compile_probe.py"),
+              "--batch", "8192"], 3600)):
+        if not tpu_up():
+            if not wait_for_tpu(120, time.time() + 1800):
+                log(f"{tag}: TPU unavailable; skipping")
+                continue
+        rc, _ = run_logged(cmd, timeout=timeout, tag=tag)
+        log(f"{tag}: rc={rc}")
+        commit(f"Measured {tag} results "
+               "(unattended post-promotion run)")
 
 
 def main():
@@ -108,6 +131,7 @@ def main():
             commit("Promote the converged NUTS posterior into the "
                    "committed Spain-2020 artifact")
             log("DONE: converged_and_promoted")
+            run_extras()
             return 0
         log("promotion failed after retries; leaving campaign for resume")
         return 1
@@ -134,6 +158,8 @@ def main():
     log(f"autopilot rc={rc}")
     commit("Round-4 campaign continuation via autopilot "
            f"(rc={rc}; see results/AUTOPILOT_DONE.json)")
+    if rc == 0:
+        run_extras()
     return rc
 
 
