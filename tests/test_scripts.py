@@ -630,3 +630,40 @@ def test_autopilot_state_machine(tmp_path, monkeypatch):
     assert rc == 1
     assert [c[0] for c in calls] == ["prod1"]
     assert json.loads(done.read_text())["status"] == "not_converged"
+
+
+def test_finisher_gate_state(tmp_path):
+    """r19_finisher.gate_state: stale metadata (older than the campaign
+    launch) and unparseable/missing files read as 'missing' (-> autopilot
+    resume path); fresh diagnostics split into passed/failed on the same
+    max(split, rank) < 1.05 AND min-ESS > 400 bar the promotion records."""
+    import json
+    import time
+
+    sys.path.insert(0, SCRIPTS)
+    import r19_finisher
+
+    out = tmp_path / "campaign"
+    out.mkdir()
+    meta = out / "campaign_metadata.json"
+
+    assert r19_finisher.gate_state(str(out), 0.0)[0] == "missing"
+
+    meta.write_text(json.dumps({"diagnostics": {
+        "max_rhat": 1.02, "max_rank_rhat": 1.03, "min_ess": 900.0}}))
+    assert r19_finisher.gate_state(str(out), 0.0)[0] == "passed"
+    # written BEFORE the campaign started -> a leftover from a previous
+    # run, not evidence about this one
+    assert r19_finisher.gate_state(
+        str(out), time.time() + 60)[0] == "missing"
+
+    for bad in ({"max_rhat": 1.2, "max_rank_rhat": 1.03, "min_ess": 900.0},
+                {"max_rhat": 1.02, "max_rank_rhat": 1.06, "min_ess": 900.0},
+                {"max_rhat": 1.02, "max_rank_rhat": 1.03, "min_ess": 10.0},
+                {}):
+        meta.write_text(json.dumps({"diagnostics": bad}))
+        verdict, _ = r19_finisher.gate_state(str(out), 0.0)
+        assert verdict == "failed", bad
+
+    meta.write_text("not json")
+    assert r19_finisher.gate_state(str(out), 0.0)[0] == "missing"
