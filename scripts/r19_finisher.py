@@ -116,6 +116,19 @@ def main():
         f"min ESS {diag.get('min_ess')})")
 
     if verdict == "passed":
+        # convergence evidence survives even if every promotion attempt
+        # hits a wedged tunnel: the campaign dir itself is gitignored
+        gate_path = os.path.join(REPO, "results", "R4_GATE.json")
+        with open(gate_path, "w") as f:
+            json.dump({"campaign": args.out, "gate": 1.05,
+                       "diagnostics": {k: diag.get(k) for k in
+                                       ("max_rhat", "max_rank_rhat",
+                                        "min_ess", "min_ess_per_sec")}},
+                      f, indent=2)
+        subprocess.run(["git", "add", gate_path], cwd=REPO)
+        subprocess.run(["git", "commit", "-m",
+                        "Record the passed convergence gate for the "
+                        "round-4 NUTS campaign"], cwd=REPO)
         rc = -1
         for p_try in range(1, 5):
             if not tpu_up():
