@@ -38,6 +38,13 @@ def pid_alive(pid):
     try:
         os.kill(pid, 0)
         return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        # the process exists but is owned by another user — it IS alive;
+        # declaring it dead here would race a second autopilot against the
+        # live campaign's checkpoint writes
+        return True
     except OSError:
         return False
 
@@ -58,13 +65,32 @@ def gate_state(out_dir, started_after, require_rhat=1.05, min_ess=400.0):
 
 
 def commit(msg):
-    subprocess.run(["git", "add", "-A",
-                    "results/spain2020", "results/AUTOPILOT_DONE.json",
-                    "results/mala_rematch.json",
-                    "results/adjoint_compile_probe.json",
-                    "scripts", "docs"], cwd=REPO)
+    """Stage whichever of the evidence paths exist, then commit.
+
+    `git add` with ANY non-matching pathspec exits fatal (rc 128) and
+    stages NOTHING, so the paths must be filtered by existence first and
+    every return code checked — an unattended promotion commit that
+    silently stages nothing is worse than a loud failure.
+    """
+    paths = [p for p in ("results/spain2020", "results/AUTOPILOT_DONE.json",
+                         "results/mala_rematch.json",
+                         "results/adjoint_compile_probe.json",
+                         "scripts", "docs")
+             if os.path.exists(os.path.join(REPO, p))]
+    ok = True
+    for p in paths:
+        r = subprocess.run(["git", "add", "-A", "--", p], cwd=REPO)
+        if r.returncode != 0:
+            log(f"git add {p} FAILED rc={r.returncode}")
+            ok = False
+    staged = subprocess.run(["git", "diff", "--cached", "--quiet"],
+                            cwd=REPO).returncode
+    if staged == 0:
+        log(f"commit ABORTED: nothing staged for {msg!r}")
+        return False
     r = subprocess.run(["git", "commit", "-m", msg], cwd=REPO)
     log(f"git commit rc={r.returncode}")
+    return ok and r.returncode == 0
 
 
 def run_extras():
@@ -84,8 +110,13 @@ def run_extras():
                 continue
         rc, _ = run_logged(cmd, timeout=timeout, tag=tag)
         log(f"{tag}: rc={rc}")
-        commit(f"Measured {tag} results "
-               "(unattended post-promotion run)")
+        if rc == 0:
+            commit(f"Measured {tag} results "
+                   "(unattended post-promotion run)")
+        else:
+            # a failed or timed-out probe must not produce an
+            # evidence-claiming commit of stale/absent JSON
+            log(f"{tag}: FAILED rc={rc}; not committing")
 
 
 def main():
@@ -149,11 +180,26 @@ def main():
         log("promotion failed after retries; leaving campaign for resume")
         return 1
 
-    # unconverged or crashed: the autopilot's extension loop owns it now
-    nxt = args.iterations + (args.extend_by if verdict == "failed" else 0)
+    # unconverged or crashed: the autopilot's extension loop owns it now.
+    # Geometry (chains/warmup/depth) and the iteration floor come from the
+    # campaign's own metadata when available — a relaunch with mismatched
+    # defaults would resume with a target at or below the checkpointed
+    # iteration (zero remaining work) or silently shift the burn window.
+    chains, warmup, depth, done_iters = 64, 100, 10, args.iterations
+    try:
+        with open(os.path.join(args.out, "campaign_metadata.json")) as f:
+            meta = json.load(f)
+        chains = int(meta.get("chains", chains))
+        warmup = int(meta.get("warmup", warmup))
+        depth = int(meta.get("max_tree_depth", depth))
+        done_iters = max(done_iters, int(meta.get("iterations", 0)))
+    except (OSError, ValueError):
+        log("no campaign metadata; using invocation defaults")
+    nxt = done_iters + (args.extend_by if verdict == "failed" else 0)
     cmd = [PY, os.path.join(REPO, "scripts", "tpu_autopilot.py"),
-           "--skip-probes", "--depth", "10", "--chains", "64",
-           "--warmup", "100", "--segments", "134",
+           "--skip-probes", "--depth", str(depth),
+           "--chains", str(chains),
+           "--warmup", str(warmup), "--segments", "134",
            "--iterations", str(nxt),
            "--extend-by", str(args.extend_by),
            "--max-iterations", str(args.max_iterations),

@@ -344,6 +344,18 @@ def main(argv=None):
             "min_ess": diag.get("min_ess")}
         checkpoint_summary()
         if rc == 0:
+            # the campaign's own gate is R-hat only; the committed-artifact
+            # test additionally asserts min ESS > 400, so the promotion
+            # path must enforce the same bar — otherwise the two promotion
+            # routes (finisher vs autopilot) gate differently and a low-ESS
+            # pass here would promote an artifact that fails the test
+            if diag.get("min_ess", 0) <= 400:
+                log(f"R-hat gate passed but min ESS "
+                    f"{diag.get('min_ess')} <= 400; extending for ESS")
+                resume = os.path.exists(
+                    os.path.join(args.out, "nuts_state.npz"))
+                iterations += args.extend_by
+                continue
             gate_ok = True
             break
         if rc == 3:
