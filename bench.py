@@ -43,6 +43,36 @@ def timed(fn, *args, reps=3):
     return float(np.median(times))
 
 
+# Scripts whose presence means the single tunneled TPU is (or is about to
+# be) held by long-running device work. A bench run sharing the chip with
+# any of these produces contaminated numbers: the committed r04 bench ran
+# while a NUTS campaign churned the same chip and reported a phantom -17%
+# objective regression plus a warm adjoint compile 3x SLOWER than cold
+# (device RPC waits billed as compile time). Refuse to measure then.
+_TPU_HOG_SCRIPTS = ("nuts_campaign.py", "tpu_autopilot.py",
+                    "refresh_artifact.py", "mala_rematch.py",
+                    "adjoint_compile_probe.py", "adjoint_lane_probe.py",
+                    "r19_finisher.py", "r4_supervisor.py",
+                    "serovalid_pipeline.py")
+
+
+def tpu_busy_processes():
+    """Pids (other than ours/ancestors) running known TPU-holding scripts."""
+    me = {os.getpid(), os.getppid()}
+    hogs = []
+    for pid_dir in os.listdir("/proc"):
+        if not pid_dir.isdigit() or int(pid_dir) in me:
+            continue
+        try:
+            with open(f"/proc/{pid_dir}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "python" in cmd and any(s in cmd for s in _TPU_HOG_SCRIPTS):
+            hogs.append((int(pid_dir), cmd.strip()))
+    return hogs
+
+
 def probe_device(timeout_s=120):
     """Fail fast if the device backend is unreachable.
 
@@ -67,6 +97,22 @@ def probe_device(timeout_s=120):
 
 
 def main():
+    deadline = time.time() + float(os.environ.get("BENCH_BUSY_WAIT", 600))
+    while True:
+        hogs = tpu_busy_processes()
+        if not hogs or os.environ.get("BENCH_FORCE"):
+            break
+        for pid, cmd in hogs:
+            log(f"TPU busy: pid {pid}: {cmd}")
+        if time.time() >= deadline:
+            # proceed rather than lose the round's bench entirely, but say
+            # so loudly and stamp the contention into the details JSON
+            log("BENCH_BUSY_WAIT exhausted: measuring under contention — "
+                "numbers below are contaminated")
+            break
+        log("waiting 30s for the TPU to free up "
+            "(set BENCH_FORCE=1 to skip the wait)")
+        time.sleep(30)
     if not os.environ.get("BENCH_SKIP_PROBE") and not probe_device():
         log("aborting bench: no reachable device")
         return 1
@@ -351,6 +397,9 @@ def main():
         log(f"pallas adjoint skipped: {type(e).__name__}: {e}")
 
     details["cache_mode"] = "cold" if cold else "warm"
+    # provenance: a non-empty list means the numbers above were measured
+    # under contention (only possible with BENCH_FORCE=1)
+    details["concurrent_tpu_processes"] = [c for _, c in tpu_busy_processes()]
     out_name = "BENCH_DETAILS_COLD.json" if cold else "BENCH_DETAILS.json"
     with open(os.path.join(REPO, out_name), "w") as f:
         json.dump(details, f, indent=2)

@@ -156,18 +156,41 @@ def main():
     save_state(state)
 
     # ---- probe ladder ----------------------------------------------------
+    # A probe that dies (rc -9: killed by a miscalibrated dispatch budget,
+    # tunnel wedge, ...) is retried once — the round-4 ladder lost d11 and
+    # d12 this way and silently decided on n=1, which the round-4 verdict
+    # flagged. A ladder that still ends with <2 eligible probes is a
+    # DEGRADED decision: reported loudly, recorded in the decision JSON,
+    # and fatal unless --allow-degraded was passed.
     probes = []
     for depth, iters in ((10, 100), (11, 100), (12, 80)):
         out = os.path.join(REPO, "results", f"r4_probe_d{depth}")
-        rc, lines = run_timed(probe_cmd(depth, iters, out),
-                              timeout=3600, tag=f"probe_d{depth}")
-        p = parse_probe(depth, out, lines, rc)
+        for attempt in (1, 2):
+            rc, lines = run_timed(probe_cmd(depth, iters, out),
+                                  timeout=3600, tag=f"probe_d{depth}")
+            p = parse_probe(depth, out, lines, rc)
+            if eligible(p) or attempt == 2:
+                break
+            log(f"probe d{depth} attempt {attempt} unusable "
+                f"(rc={rc}); retrying once")
+            time.sleep(90)   # let a killed client's tunnel session expire
         probes.append(p)
         state["phases"][f"probe_d{depth}"] = p
         save_state(state)
         log(f"probe d{depth}: {json.dumps({k: v for k, v in p.items() if k != 'out'})}")
 
     ok = [p for p in probes if eligible(p)]
+    degraded = len(ok) < 2
+    if degraded:
+        log(f"PROBE LADDER DEGRADED: only {len(ok)}/{len(probes)} probes "
+            "usable after retries — the depth decision below rests on "
+            f"n={len(ok)}")
+        if "--allow-degraded" not in sys.argv:
+            state["status"] = "probe_ladder_degraded"
+            save_state(state)
+            log("refusing to decide from a degraded ladder "
+                "(pass --allow-degraded to override)")
+            return 2
     if ok:
         best = min(ok, key=lambda p: p["proj_seconds_to_gate"])
         depth, trace = best["depth"], os.path.join(best["out"], "samples.npz")
@@ -179,7 +202,8 @@ def main():
         if d10 and os.path.exists(os.path.join(d10["out"], "samples.npz")):
             trace = os.path.join(d10["out"], "samples.npz")
     decision = {"depth": depth, "trace": trace,
-                "eligible": [p["depth"] for p in ok]}
+                "eligible": [p["depth"] for p in ok],
+                "degraded": degraded}
     state["phases"]["decision"] = decision
     with open(os.path.join(REPO, "results", "r4_probe_decision.json"),
               "w") as f:
