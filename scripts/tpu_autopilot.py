@@ -195,12 +195,29 @@ def main(argv=None):
                    help="forwarded to the campaign: early-stop the final "
                         "stage after this many consecutive gate-clean "
                         "segments")
+    p.add_argument("--artifact", default=None,
+                   help="promotion target passed to refresh_artifact.py "
+                        "(default: the committed results/spain2020; a "
+                        "serovalid campaign must point at "
+                        "results/spain2020_serovalid)")
+    p.add_argument("--serovalid", action="store_true",
+                   help="forwarded to the campaign: sample the ENE-COVID-"
+                        "consistent posterior (variant-C relaxed bounds + "
+                        "sero data term) instead of the reference-bounds one")
+    p.add_argument("--init", default=None,
+                   help="forwarded to the campaign: calibrated_parameters "
+                        "file for theta0 (e.g. the serovalid MAP)")
     p.add_argument("--resume-existing", action="store_true",
                    help="start the production loop in --resume mode when "
                         "<out>/nuts_state.npz already exists (continue a "
                         "campaign another autopilot started, instead of "
                         "wiping its partials)")
     args = p.parse_args(argv)
+    if args.serovalid and args.artifact is None:
+        p.error("--serovalid requires --artifact (refresh_artifact.py "
+                "refuses to promote a relaxed-bounds posterior into the "
+                "reference-bounds results/spain2020; burning the retry "
+                "loop on that refusal helps nobody)")
 
     deadline = time.time() + args.deadline_hours * 3600
     summary = {"status": "started", "stages": {}}
@@ -318,6 +335,10 @@ def main(argv=None):
             cmd += ["--eps-ceil", str(args.eps_ceil)]
         if args.stop_when_converged is not None:
             cmd += ["--stop-when-converged", str(args.stop_when_converged)]
+        if args.serovalid:
+            cmd.append("--serovalid")
+        if args.init is not None:
+            cmd += ["--init", args.init]
         if args.stages is not None and not resume:
             # the ladder only applies to a fresh run: a checkpointed resume
             # continues the FINAL stage (the checkpoint holds its mass)
@@ -386,10 +407,13 @@ def main(argv=None):
         for p_try in range(1, 5):
             if not tpu_up():
                 wait_for_tpu(args.poll_secs, deadline + 3600)
-            rc, out = run_logged(
-                [PY, os.path.join(REPO, "scripts", "refresh_artifact.py"),
-                 args.out, "--report"], timeout=3600,
-                tag=f"promote{p_try}")
+            promote_cmd = [PY, os.path.join(REPO, "scripts",
+                                            "refresh_artifact.py"),
+                           args.out, "--report"]
+            if args.artifact is not None:
+                promote_cmd += ["--artifact", args.artifact]
+            rc, out = run_logged(promote_cmd, timeout=3600,
+                                 tag=f"promote{p_try}")
             summary["stages"][f"promotion_attempt_{p_try}"] = {"rc": rc}
             checkpoint_summary()
             if rc == 0:
