@@ -155,7 +155,8 @@ def main(argv=None) -> int:
                         "(0 = no gate)")
     p.add_argument("--stop-when-converged", type=int, default=0,
                    help="stop the final stage early once the live "
-                        "burned-window worst split-R-hat has stayed below "
+                        "burned-window worst split- AND rank-R-hat have "
+                        "stayed below "
                         "0.98 x --require-rhat for this many CONSECUTIVE "
                         "segments (and >= 100 burned iterations exist); "
                         "0 = run every iteration. The end-of-run gate still "
@@ -581,8 +582,22 @@ def main(argv=None) -> int:
             nb = args.warmup + int(args.posterior_burn_frac
                                    * (acc.shape[0] - args.warmup))
             rb = split_rhat(acc[nb:]) if acc.shape[0] - nb > 20 else r
+            # the end-of-run gate (below) requires max(split, RANK) under
+            # the bar, and rank-normalized R-hat runs ~0.03 ABOVE split on
+            # this posterior — an early stop keyed on split alone fires
+            # while rank still fails, and every extension then early-stops
+            # after --stop-when-converged segments (~30 iters) just to
+            # fail the same end gate: ~7 min of restart overhead per 30
+            # iterations of progress. Gate the stop on BOTH statistics.
+            if acc.shape[0] - nb > 20:
+                from mmidv1_tpu.analysis.diagnostics import \
+                    rank_normalized_rhat
+                rkb = float(np.max(rank_normalized_rhat(acc[nb:])))
+            else:
+                rkb = float(np.max(rb))
             print(f"  [seg @ iter {int(state.it)}] worst split-R-hat: {stat}"
-                  f" | burned-window worst {float(np.max(rb)):.2f}",
+                  f" | burned-window worst {float(np.max(rb)):.2f}"
+                  f" (rank {rkb:.2f})",
                   flush=True)
             # safety margin on the EXCESS over 1.0 (not the raw gate):
             # 0.98 * 1.01 < 1.0 would make a tight gate unreachable —
@@ -590,12 +605,12 @@ def main(argv=None) -> int:
             stop_bar = 1.0 + 0.98 * (args.require_rhat - 1.0)
             if (args.stop_when_converged > 0 and args.require_rhat > 1.0
                     and acc.shape[0] - nb >= 100
-                    and float(np.max(rb)) < stop_bar):
+                    and max(float(np.max(rb)), rkb) < stop_bar):
                 stop_streak["n"] += 1
                 if stop_streak["n"] >= args.stop_when_converged:
                     print(f"  [seg @ iter {int(state.it)}] EARLY STOP: "
-                          f"burned-window worst split-R-hat under "
-                          f"{stop_bar:.3f} for "
+                          f"burned-window worst split- AND rank-R-hat "
+                          f"under {stop_bar:.3f} for "
                           f"{stop_streak['n']} consecutive segments",
                           flush=True)
                     return True
