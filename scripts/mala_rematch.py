@@ -43,9 +43,16 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default=os.path.join(REPO, "results",
                                                  "mala_rematch.json"))
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu"],
+                   help="'cpu' forces the CPU backend (smoke tests; the "
+                        "JAX_PLATFORMS env var cannot override the axon "
+                        "sitecustomize, so this must be a config update)")
     args = p.parse_args(argv)
 
     import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(REPO, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

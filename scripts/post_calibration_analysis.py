@@ -113,6 +113,78 @@ def _serovalid_block(serovalid_dir=None):
         f"<td>{'—' if ok is None else ('inside' if ok else 'outside')}"
         f"</td></tr>"
         for name, ll, sero, ok in rows)
+
+    # posterior row with credible intervals, once a serovalid NUTS
+    # campaign has been promoted (refresh_artifact.py --artifact ... +
+    # scripts/serovalid_posterior_summary.py)
+    post_note = ""
+    rm_path = os.path.join(d, "run_metadata.json")
+    if os.path.exists(rm_path):
+        try:
+            with open(rm_path) as f:
+                rm = json.load(f)
+            ps = rm.get("posterior_summary")
+            if ps:
+                sq, lq = ps["sero_day64"], ps["logl"]
+                inside = lo_ci <= sq["q50"] <= hi_ci
+                body += (
+                    "<tr><td>relaxed bounds, serovalid NUTS posterior "
+                    "(median [95% CrI])</td>"
+                    f"<td>{lq['q50']:.1f} [{lq['q2.5']:.1f}, "
+                    f"{lq['q97.5']:.1f}]</td>"
+                    f"<td>{lq['q50'] - ll0:+.1f}</td>"
+                    f"<td>{100 * sq['q50']:.2f}% "
+                    f"[{100 * sq['q2.5']:.2f}, {100 * sq['q97.5']:.2f}]</td>"
+                    f"<td>{'inside' if inside else 'outside'} "
+                    f"({100 * ps['sero_inside_ci_frac']:.0f}% of draws "
+                    "inside)</td></tr>")
+            diag = rm.get("campaign_diagnostics")
+            if diag:
+                post_note = (
+                    f" Serovalid posterior convergence: max split-R-hat "
+                    f"{diag.get('max_rhat', float('nan')):.3f}, rank "
+                    f"{diag.get('max_rank_rhat', float('nan')):.3f}, "
+                    f"min ESS {diag.get('min_ess', float('nan')):.0f}.")
+        except (KeyError, ValueError, TypeError):
+            pass
+
+    # side-by-side posterior parameter bands over the relaxed parameters
+    # (reference-bounds posterior vs serovalid posterior), rendered only
+    # when both posteriors exist
+    bands = ""
+    sv_post = os.path.join(d, "posterior_samples.npz")
+    ref_post = os.path.join(REPO, "results", "spain2020",
+                            "posterior_samples.npz")
+    if os.path.exists(sv_post) and os.path.exists(ref_post):
+        try:
+            import numpy as np
+            relaxed = m["bounds"]["relaxed_parameters"]
+            zs, zr = np.load(sv_post), np.load(ref_post)
+            names_s = [str(n) for n in zs["names"]]
+            names_r = [str(n) for n in zr["names"]]
+            rows_b = []
+            for nme in relaxed:
+                if nme not in names_s or nme not in names_r:
+                    continue
+                a = zr["samples"][:, names_r.index(nme)]
+                b = zs["samples"][:, names_s.index(nme)]
+                qa = np.percentile(a, [5, 50, 95])
+                qb = np.percentile(b, [5, 50, 95])
+                rows_b.append(
+                    f"<tr><td><code>{html.escape(nme)}</code></td>"
+                    f"<td>{qa[1]:.4g} [{qa[0]:.4g}, {qa[2]:.4g}]</td>"
+                    f"<td>{qb[1]:.4g} [{qb[0]:.4g}, {qb[2]:.4g}]</td></tr>")
+            if rows_b:
+                bands = (
+                    "<p>Posterior bands over the relaxed parameters "
+                    "(median [5%, 95%]):</p>"
+                    "<table><tr><th>parameter</th>"
+                    "<th>reference-bounds posterior</th>"
+                    "<th>serovalid posterior</th></tr>"
+                    + "".join(rows_b) + "</table>")
+        except (KeyError, ValueError, OSError):
+            pass
+
     files = ", ".join(sorted(
         fn for fn in os.listdir(d) if not fn.startswith(".")))
     return (
@@ -124,9 +196,10 @@ def _serovalid_block(serovalid_dir=None):
         "(severity floors /10, seed cap lifted) plus the ENE-COVID day-64 "
         "point as a constraint. "
         f"ENE-COVID 95% CI: [{100 * lo_ci:.1f}, {100 * hi_ci:.1f}]%."
+        + post_note +
         "<table><tr><th>calibration mode</th><th>Poisson LL (f64)</th>"
         "<th>&Delta;LL</th><th>day-64 sero</th><th>vs CI</th></tr>"
-        + body + "</table></div>")
+        + body + "</table>" + bands + "</div>")
 
 
 def plot_ppc(input_dir, fig_dir, figures):

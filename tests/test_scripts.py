@@ -230,6 +230,53 @@ def test_nuts_campaign_serovalid_smoke(tmp_path):
                                "--artifact", str(tmp_path / "ref_art")])
 
 
+def test_serovalid_block_renders_posterior_intervals(tmp_path):
+    """The report's serovalid comparison table gains a posterior row with
+    credible intervals, the convergence note, and side-by-side parameter
+    bands once a serovalid campaign has been promoted (run_metadata.json
+    carries posterior_summary + campaign_diagnostics and
+    posterior_samples.npz exists); without a posterior it renders the
+    MAP-only table unchanged."""
+    import json
+    import shutil
+
+    import numpy as np
+
+    sys.path.insert(0, SCRIPTS)
+    import post_calibration_analysis as pca
+
+    sv = os.path.join(REPO, "results", "spain2020_serovalid")
+    if not os.path.exists(os.path.join(sv, "serovalid_metadata.json")):
+        pytest.skip("serovalid artifact not built")
+    blk = pca._serovalid_block()
+    assert blk is not None and "Externally-validated" in blk
+    if not os.path.exists(os.path.join(sv, "posterior_samples.npz")):
+        assert "NUTS posterior" not in blk
+
+    d = tmp_path / "sv"
+    d.mkdir()
+    shutil.copy(os.path.join(sv, "serovalid_metadata.json"), d)
+    np.savez(d / "posterior_samples.npz",
+             samples=np.random.default_rng(0).normal(size=(100, 2)),
+             logls=np.zeros(100),
+             names=np.array(["p_0", "seed_exposed"]))
+    (d / "run_metadata.json").write_text(json.dumps({
+        "posterior_summary": {
+            "n_replayed": 64,
+            "sero_day64": {"q2.5": 0.043, "q50": 0.048, "q97.5": 0.053},
+            "sero_inside_ci_frac": 0.93, "ene_covid_mean": 0.048,
+            "logl": {"q2.5": 1.43e6, "q50": 1.434e6, "q97.5": 1.4345e6}},
+        "campaign_diagnostics": {"max_rhat": 1.04, "max_rank_rhat": 1.045,
+                                 "min_ess": 800}}))
+    blk = pca._serovalid_block(str(d))
+    assert "NUTS posterior" in blk
+    assert "min ESS 800" in blk
+    assert "93% of draws" in blk
+    if os.path.exists(os.path.join(REPO, "results", "spain2020",
+                                   "posterior_samples.npz")):
+        assert "Posterior bands" in blk and "seed_exposed" in blk
+
+
 @pytest.mark.slow
 @pytest.mark.campaign
 def test_nuts_campaign_early_stop(tmp_path, capsys):
