@@ -409,11 +409,32 @@ def main(argv=None):
                 wait_for_tpu(args.poll_secs, deadline + 3600)
             promote_cmd = [PY, os.path.join(REPO, "scripts",
                                             "refresh_artifact.py"),
-                           args.out, "--report"]
+                           args.out]
+            if not args.serovalid:
+                # the serovalid posterior lives in the RELAXED space; the
+                # full analysis tree (generate_full_report) replays under
+                # the reference-bounds pipeline and would silently clamp —
+                # its report is the summary + comparison table instead
+                promote_cmd.append("--report")
             if args.artifact is not None:
                 promote_cmd += ["--artifact", args.artifact]
             rc, out = run_logged(promote_cmd, timeout=3600,
                                  tag=f"promote{p_try}")
+            if rc == 0 and args.serovalid:
+                rc, out = run_logged(
+                    [PY, os.path.join(REPO, "scripts",
+                                      "serovalid_posterior_summary.py"),
+                     "--artifact", args.artifact], timeout=1800,
+                    tag=f"svsummary{p_try}")
+                if rc == 0:
+                    # re-render the MAIN report: its comparison table is
+                    # where the serovalid credible intervals appear
+                    rc, out = run_logged(
+                        [PY, os.path.join(REPO, "scripts",
+                                          "post_calibration_analysis.py"),
+                         "--input", os.path.join(REPO, "results",
+                                                 "spain2020", "analysis")],
+                        timeout=1800, tag=f"svrender{p_try}")
             summary["stages"][f"promotion_attempt_{p_try}"] = {"rc": rc}
             checkpoint_summary()
             if rc == 0:
