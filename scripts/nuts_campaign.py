@@ -57,6 +57,19 @@ def main(argv=None) -> int:
                         "beyond the step-size window, and keeping the "
                         "drift-contaminated head holds split-R-hat up by "
                         "pure dilution long after the chains have mixed")
+    p.add_argument("--posterior-burn-iters", type=int, default=0,
+                   help="ABSOLUTE post-warmup burn-in (overrides "
+                        "--posterior-burn-frac when > 0; capped at 90%% of "
+                        "the post-warmup draws). A proportional burn "
+                        "over-discards as a gated run extends: on the r19 "
+                        "campaign the excess of the worst rank-R-hat over "
+                        "1.0 times the kept-window length measured "
+                        "constant (~235) for every burn in {400..2000} "
+                        "iterations — the warm-start transient is dead by "
+                        "~400, so R-hat is governed purely by kept-window "
+                        "LENGTH and discarding half of an 8000-iteration "
+                        "run just pushes the same gate thousands of "
+                        "iterations further out")
     p.add_argument("--segments", type=int, default=30,
                    help="split the run into this many device dispatches "
                         "(a monolithic dispatch holds one RPC deadline open "
@@ -579,8 +592,13 @@ def main(argv=None) -> int:
             # the gate slice (post-warmup head burned): the full-trace number
             # is dilution-biased low while chains still hold offsets — the
             # burned window is what --require-rhat will actually see
-            nb = args.warmup + int(args.posterior_burn_frac
-                                   * (acc.shape[0] - args.warmup))
+            if args.posterior_burn_iters > 0:
+                nb = args.warmup + min(
+                    args.posterior_burn_iters,
+                    int(0.9 * max(0, acc.shape[0] - args.warmup)))
+            else:
+                nb = args.warmup + int(args.posterior_burn_frac
+                                       * (acc.shape[0] - args.warmup))
             rb = split_rhat(acc[nb:]) if acc.shape[0] - nb > 20 else r
             # the end-of-run gate (below) requires max(split, RANK) under
             # the bar, and rank-normalized R-hat runs ~0.03 ABOVE split on
@@ -765,13 +783,18 @@ def main(argv=None) -> int:
 
     os.makedirs(args.out, exist_ok=True)
     total_T = int(res.samples.shape[0])
-    burn = args.warmup + int(args.posterior_burn_frac
-                             * max(0, total_T - args.warmup))
+    if args.posterior_burn_iters > 0:
+        burn = args.warmup + min(args.posterior_burn_iters,
+                                 int(0.9 * max(0, total_T - args.warmup)))
+        burn_desc = f"absolute --posterior-burn-iters {args.posterior_burn_iters}"
+    else:
+        burn = args.warmup + int(args.posterior_burn_frac
+                                 * max(0, total_T - args.warmup))
+        burn_desc = f"{args.posterior_burn_frac:.0%} of {total_T - args.warmup}"
     burn = min(burn, max(total_T - 8, args.warmup))
     if burn > args.warmup:
         print(f"posterior: discarding {burn - args.warmup} post-warmup "
-              f"burn-in draws ({args.posterior_burn_frac:.0%} of "
-              f"{total_T - args.warmup}); keeping {total_T - burn}")
+              f"burn-in draws ({burn_desc}); keeping {total_T - burn}")
     samples = np.asarray(res.samples[burn:])
     logps = np.asarray(res.sample_logps[burn:])
     np.savez_compressed(os.path.join(args.out, "samples.npz"),
@@ -836,6 +859,9 @@ def main(argv=None) -> int:
                             "min_ess": min_ess,
                             "min_ess_per_sec": min_ess / wall,
                             "per_parameter": diag},
+            "posterior_burn": {"iters": burn - args.warmup,
+                               "policy": burn_desc,
+                               "kept": total_T - burn},
             "seed": args.seed,
             "device": f"{dev.platform}/{dev.device_kind}"}
     if args.serovalid:

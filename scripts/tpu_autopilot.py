@@ -195,6 +195,10 @@ def main(argv=None):
                    help="forwarded to the campaign: early-stop the final "
                         "stage after this many consecutive gate-clean "
                         "segments")
+    p.add_argument("--posterior-burn-iters", type=int, default=None,
+                   help="forwarded to the campaign: ABSOLUTE post-warmup "
+                        "burn-in for the reported posterior/diagnostics "
+                        "(see nuts_campaign.py --posterior-burn-iters)")
     p.add_argument("--artifact", default=None,
                    help="promotion target passed to refresh_artifact.py "
                         "(default: the committed results/spain2020; a "
@@ -339,6 +343,9 @@ def main(argv=None):
             cmd.append("--serovalid")
         if args.init is not None:
             cmd += ["--init", args.init]
+        if args.posterior_burn_iters is not None:
+            cmd += ["--posterior-burn-iters",
+                    str(args.posterior_burn_iters)]
         if args.stages is not None and not resume:
             # the ladder only applies to a fresh run: a checkpointed resume
             # continues the FINAL stage (the checkpoint holds its mass)
