@@ -230,6 +230,36 @@ def test_nuts_campaign_serovalid_smoke(tmp_path):
                                "--artifact", str(tmp_path / "ref_art")])
 
 
+@pytest.mark.slow
+@pytest.mark.campaign
+def test_nuts_campaign_absolute_burn(tmp_path):
+    """--posterior-burn-iters discards an ABSOLUTE number of post-warmup
+    draws (not a fraction), records the policy in campaign_metadata.json,
+    and ships the corresponding window in samples.npz."""
+    import json
+
+    import numpy as np
+
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import nuts_campaign
+
+    rc = nuts_campaign.main([
+        "--chains", "4", "--iterations", "40", "--warmup", "4",
+        "--depth", "2", "--substeps", "2", "--engine", "xla",
+        "--segments", "2", "--posterior-burn-iters", "10",
+        "--out", str(tmp_path)])
+    assert rc == 0
+    meta = json.loads((tmp_path / "campaign_metadata.json").read_text())
+    assert meta["posterior_burn"]["iters"] == 10
+    assert "absolute" in meta["posterior_burn"]["policy"]
+    assert meta["posterior_burn"]["kept"] == 40 - 4 - 10
+    z = np.load(tmp_path / "samples.npz")
+    assert z["samples"].shape[0] == 26
+
+
 def test_serovalid_block_renders_posterior_intervals(tmp_path):
     """The report's serovalid comparison table gains a posterior row with
     credible intervals, the convergence note, and side-by-side parameter
