@@ -260,6 +260,43 @@ def test_nuts_campaign_absolute_burn(tmp_path):
     assert z["samples"].shape[0] == 26
 
 
+def test_make_laplace_trace(tmp_path):
+    """The Laplace-derived serovalid warm trace has the campaign trace
+    layout (samples (iters, chains, dim) + names), every draw strictly
+    inside the RELAXED bounds, and is deterministic under a seed."""
+    import numpy as np
+
+    sys.path.insert(0, SCRIPTS)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import make_laplace_trace as mlt
+
+    sv = os.path.join(REPO, "results", "spain2020_serovalid")
+    lap_path = os.path.join(sv, "laplace_serovalid.npz")
+    if not os.path.exists(lap_path):
+        pytest.skip("serovalid Laplace not built")
+    out = tmp_path / "trace.npz"
+    argv = ["--laplace", lap_path, "--out", str(out),
+            "--iters", "4", "--chains", "8", "--seed", "7"]
+    old = sys.argv
+    sys.argv = ["make_laplace_trace.py"] + argv
+    try:
+        assert mlt.main() == 0
+    finally:
+        sys.argv = old
+    z = np.load(out)
+    assert z["samples"].shape == (4, 8, 62)
+    from mmidv1_tpu.calibration.serovalid import relax_bounds
+    from mmidv1_tpu.cli.common import load_spain_pipeline
+    space, _ = relax_bounds(load_spain_pipeline(REPO).space)
+    lo = np.asarray(space.lower, float)
+    hi = np.asarray(space.upper, float)
+    s = z["samples"].reshape(-1, 62)
+    assert (s > lo).all() and (s < hi).all()
+    assert [str(n) for n in z["names"]] == list(space.names)
+
+
 def test_serovalid_block_renders_posterior_intervals(tmp_path):
     """The report's serovalid comparison table gains a posterior row with
     credible intervals, the convergence note, and side-by-side parameter
