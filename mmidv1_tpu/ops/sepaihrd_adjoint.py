@@ -71,6 +71,11 @@ VMEM_LIMIT_BYTES = None
 # parity across widths): 256 lanes 1.255e5, 512 lanes 1.460e5, 1024 lanes
 # 1.487e5 value_and_grads/s — so wide-backward is the default and the cap is
 # raised automatically when the requested width needs it.
+# Compile-cost ladder (scripts/adjoint_compile_probe.py, batch 8192, fresh
+# cache per width, quiet chip, 2026-08-21): bwd_block_b 512 -> 49.4 s cold
+# compile at 1.745e5 grad-evals/s; 1024 -> 71.1 s at 2.061e5; 2048 ->
+# 126.7 s at the SAME 2.061e5. The extra Mosaic compile of the 2048-wide
+# backward bought nothing, so the default bwd_block_b is 1024.
 _WIDE_BWD_VMEM_BYTES = 96 << 20
 
 
@@ -487,7 +492,7 @@ def build_objective_pallas_grad(space, base_params, data, ts, *,
                                 base_initial_state=None, substeps: int = 4,
                                 tableau: str = "dopri5",
                                 constraint_mode="reflect", dtype=None,
-                                block_b: int = 2048, bwd_block_b: int = 2048,
+                                block_b: int = 2048, bwd_block_b: int = 1024,
                                 interpret: bool = False):
     """Batched ``value_and_grad_batch(thetas (B, d)) -> (ll (B,), grad (B, d))``
     backed by the Pallas forward+adjoint kernels — the gradient engine for
