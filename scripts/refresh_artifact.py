@@ -89,7 +89,18 @@ def main(argv=None) -> int:
     # adopt the campaign MAP only if it beats the committed one (float64)
     old_ll = float(meta.get("best_logl_float64", -np.inf))
     new_ll = float(cmeta.get("best_logl_float64", -np.inf))
-    if new_ll > old_ll:
+    if cmeta.get("serovalid"):
+        # the campaign's float64 re-selection ranks by PLAIN-Poisson LL,
+        # but a serovalid artifact's MAP must stay ENE-COVID-consistent:
+        # the best Poisson point under relaxed bounds sits OUTSIDE the
+        # survey CI (measured 2026-08-21: +221 nats at sero 3.25% vs the
+        # CI [4.3, 5.4]%), so auto-adopting it would silently undo the
+        # constraint the artifact exists to carry. Constrained MAP
+        # updates go through scripts/serovalid_pipeline.py instead.
+        print(f"MAP kept: serovalid artifact (campaign plain-Poisson best "
+              f"{new_ll:.8e} not adopted; constrained-MAP updates go "
+              "through serovalid_pipeline.py)")
+    elif new_ll > old_ll:
         import shutil
         shutil.copy2(camp_map,
                      os.path.join(args.artifact, "calibrated_parameters.txt"))
