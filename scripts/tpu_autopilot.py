@@ -31,6 +31,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PY = sys.executable
+# default summary path; main() re-derives it per campaign dir so a second
+# autopilot (e.g. the serovalid campaign) cannot clobber the committed
+# converged_and_promoted record of the first (observed 2026-08-21)
 DONE_PATH = os.path.join(REPO, "results", "AUTOPILOT_DONE.json")
 
 def settle(tag):
@@ -227,10 +230,16 @@ def main(argv=None):
     summary = {"status": "started", "stages": {}}
 
     def checkpoint_summary():
-        os.makedirs(os.path.dirname(DONE_PATH), exist_ok=True)
-        with open(DONE_PATH + ".tmp", "w") as f:
+        # read the global at call time (tests monkeypatch it); a serovalid
+        # autopilot records next to it under its own name so it cannot
+        # clobber the main campaign's converged_and_promoted record
+        root = globals()["DONE_PATH"]
+        done_path = root if not args.serovalid else os.path.join(
+            os.path.dirname(root), "AUTOPILOT_SEROVALID.json")
+        os.makedirs(os.path.dirname(done_path), exist_ok=True)
+        with open(done_path + ".tmp", "w") as f:
             json.dump(summary, f, indent=2)
-        os.replace(DONE_PATH + ".tmp", DONE_PATH)
+        os.replace(done_path + ".tmp", done_path)
 
     if not wait_for_tpu(args.poll_secs, deadline):
         summary["status"] = "tpu_never_came_up"
